@@ -1,0 +1,115 @@
+"""Pipeline configuration.
+
+Mirrors the reference CLI surface (reference: src/main.cpp:113-254) as a frozen
+dataclass.  Derived quantities (size ratio bound, minimum Jaccard, minimum
+common count) reproduce the reference's pruning math:
+
+- max size ratio      R = 2*e^{d*k} - 1              (src/MST.cpp:26-37)
+- jaccard_min         x = e^{-d*k}; j = x/(2-x)      (src/greedy.cpp:652-653)
+- common-count bound  ceil(j*(n1+n2)/(1+j))          (src/greedy.cpp:649-653)
+- max resolvable d    -1/k * ln(2j/(1+j)), j=1/s     (src/sub_command.cpp:2346-2366)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- sketching (reference: -k / -s / -c, src/main.cpp:81-83,312,344) ---
+    shingle_k: int = 21           # char k-shingle width  (ref kmerSize=21)
+    sketch_size: int = 1000       # bottom-s sketch size  (ref sketchSize=1000)
+    containment: bool = False     # AAF/containment mode  (ref -c path)
+    contain_compress: int = 1000  # sketch size = len/contain_compress, min 100
+    min_sketch_size: int = 100    # ref SketchInfo.cpp:705 (max(..., 100))
+    lowercase: bool = False       # optional normalization before shingling
+
+    # --- clustering threshold (reference: -d, src/main.cpp:296,527) ---
+    threshold: float = 0.05
+    mash_k: int | None = None     # k used in Mash distance; default = shingle_k
+
+    # --- filters (reference: -m minLen, src/main.cpp:89) ---
+    min_len: int = 100            # webtext default (genomes used 10_000)
+
+    # --- candidate generation ---
+    pair_mode: str = "index"      # "index" (reference-parity inverted index,
+                                  #  src/MST.cpp:399-575) | "banded" (LSH scale path)
+    max_posting: int | None = None  # cap posting-list length; hashes hotter than
+                                    # this are dropped (ref --max-posting,
+                                    # src/dbscan.cpp:95-220). None = unlimited.
+    # banded mode parameters (k-permutation positional signature)
+    perm_count: int = 128
+    rows_per_band: int = 2
+    # exact-duplicate pre-collapse before sketching (hot-band defusal #1)
+    exact_prededup: bool = True
+
+    # --- postprocess (reference: --dedup-dist / --reps-per-cluster) ---
+    dedup_dist: float | None = None
+    reps_per_cluster: int = 1
+
+    # --- determinism (reference seeds 23 / 348842630, src/SketchInfo.cpp:88-94) ---
+    hash_seed: int = 23
+    perm_seed: int = 348842630
+
+    # --- FracMinHash / KSSD analog (ref --drlevel, src/main.cpp:159) ---
+    frac_scale: int = 64          # keep hash iff h < 2^64/frac_scale
+                                  # (ref drlevel=3 => 1/4096 sampling for genomes;
+                                  #  webtext docs are shorter, default denser)
+
+    # --- simhash ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3  # near-dup if hamming distance <= this
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.pair_mode not in ("index", "banded"):
+            raise ValueError(f"pair_mode must be 'index' or 'banded', got {self.pair_mode!r}")
+        if self.perm_count % self.rows_per_band != 0:
+            raise ValueError("perm_count must be divisible by rows_per_band")
+        maxd = self.max_resolvable_distance()
+        if self.threshold > maxd:
+            # reference rejects -d beyond sketch resolution (src/sub_command.cpp:2346-2366)
+            raise ValueError(
+                f"threshold {self.threshold} exceeds max resolvable distance "
+                f"{maxd:.4f} for sketch_size={self.sketch_size}, k={self.distance_k}"
+            )
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def distance_k(self) -> int:
+        return self.mash_k if self.mash_k is not None else self.shingle_k
+
+    @property
+    def num_bands(self) -> int:
+        return self.perm_count // self.rows_per_band
+
+    def max_size_ratio(self) -> float:
+        """R = 2*e^{d*k} - 1 (src/MST.cpp:26-37): pairs with
+        max(n1,n2) > R*min(n1,n2) cannot be within distance d."""
+        return 2.0 * math.exp(self.threshold * self.distance_k) - 1.0
+
+    def jaccard_min(self) -> float:
+        """Minimum Jaccard for distance <= d (src/greedy.cpp:652-653)."""
+        x = math.exp(-self.threshold * self.distance_k)
+        return x / (2.0 - x)
+
+    def max_resolvable_distance(self) -> float:
+        """Largest distance resolvable by a size-s sketch
+        (src/sub_command.cpp:2346-2366): j = 1/s."""
+        j = 1.0 / self.sketch_size
+        return -1.0 / self.distance_k * math.log(2.0 * j / (1.0 + j))
+
+    # ------------------------------------------------------------------ identity
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def config_hash(self) -> str:
+        """Stable hash for checkpoint-validity checks (plans/pipeline.py)."""
+        blob = json.dumps(self.to_dict(), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,90 @@
+"""Distributed connected components: large-star / small-star iterations.
+
+Replaces the reference's single-machine MST + forest-cut + BFS clustering
+(src/MST.cpp:59-142) — valid because single-linkage clusters at threshold d
+are exactly the connected components of the graph of edges with dist <= d
+(MST(G) cut at d and G's <=d subgraph have identical components), so the MST
+itself is never needed for cluster extraction.
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — alternate large-star and small-star until the edge set is stable;
+O(log^2 n) rounds.  Implemented with joins + min-aggregations only (no
+collect_list), so hot stars are plain shuffle skew that AQE splits; each
+iteration is localCheckpoint-ed to truncate lineage (driver-orchestrated
+fixpoint — Catalyst has no fixpoint operator, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    out = (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (u=max, v=min); for each u connect N(u) ∪ {u} to min(N(u))."""
+    d = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+    rewired = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select(F.col("u"), F.col("m").alias("v"))
+    return rewired.union(centers).where(F.col("u") != F.col("v")).distinct()
+
+
+def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+    # decimal sum: exact and overflow-free under ANSI mode (Spark 4 default)
+    row = e.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                   F.lit(0).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["c"]), int(row["s"])
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """edges -> membership(doc_id, cluster_id) for every node appearing in edges.
+
+    cluster_id = the minimum doc_id of the component (deterministic canonical
+    representative, matching the order-free semantics SURVEY.md §2.8 requires).
+    Nodes with no edges are absent — callers attach singletons with a left
+    join (see postprocess.assignments_from_components).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _edge_fingerprint(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(e2)
+        e = e2
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: e is a star graph (node -> component min). Emit members+roots.
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()

@@ -1,0 +1,188 @@
+"""High-level deduplication suite over a documents DataFrame.
+
+Five dup-detection families, all ending in the same edges -> connected
+components -> assignments machinery:
+
+- exact            hash(text) groupBy (pre-collapse; also hot-band defusal #1,
+                   SURVEY.md §7 "what's hard")
+- MinHash + LSH    the flagship pipeline (reference parity semantics)
+- SimHash          Charikar blocks as LSH keys, Hamming verify
+- n-gram Jaccard   token-shingle set similarity (SQL-expressible; oracle-checked)
+- embedding cosine see operators/ann.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.functions.simhash import simhash_blocks
+from rabbittclust_spark.operators.components import connected_components
+from rabbittclust_spark.operators.pairs import build_edges
+from rabbittclust_spark.operators.postprocess import assignments_from_components
+from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash, sketch_simhash
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (doc_id, canonical_id = min doc_id of the
+    identical-text group).  Map-side combinable groupBy on md5(text)."""
+    h = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    canon = h.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    return h.join(canon, "h").select("doc_id", "canonical_id")
+
+
+def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> dict[str, DataFrame]:
+    """The flagship pipeline: docs -> assignments at cfg.threshold.
+
+    Stages (SURVEY.md §7 minimum slice): optional exact pre-collapse ->
+    bottom-s MinHash sketch -> candidate pairs (index or banded mode) ->
+    Mash distance -> threshold filter -> large-star/small-star CC ->
+    assignments with singletons.  Returns the intermediate DataFrames so the
+    plan orchestrator can checkpoint each stage.
+    """
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("text"))
+
+    if cfg.exact_prededup:
+        exact = exact_dedup(base)
+        canon_docs = (
+            base.join(exact.where(F.col("doc_id") == F.col("canonical_id"))
+                      .select("doc_id"), "doc_id")
+        )
+    else:
+        exact = base.select("doc_id", F.col("doc_id").alias("canonical_id"))
+        canon_docs = base
+
+    sketches = sketch_minhash(canon_docs, cfg)
+    bands = sketch_bands(canon_docs, cfg) if cfg.pair_mode == "banded" else None
+    edges = build_edges(sketches, cfg, bands=bands)
+    membership = connected_components(edges)
+    canon_assign = assignments_from_components(
+        canon_docs.filter(F.length("text") >= cfg.min_len), membership
+    )
+    # propagate cluster ids back through the exact-dup mapping; docs below
+    # min_len keep cluster_id = themselves only if their canonical survived —
+    # reference drops them entirely (minLen filter), we do too.
+    assignments = (
+        exact.join(canon_assign.withColumnRenamed("doc_id", "canonical_id"),
+                   "canonical_id")
+        .select(
+            "doc_id", "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"),
+        )
+    )
+    return {
+        "sketches": sketches,
+        "edges": edges,
+        "membership": membership,
+        "assignments": assignments,
+        "exact_groups": exact,
+    }
+
+
+def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup edges: (src, dst, hamming) with hamming <=
+    cfg.simhash_hamming_max.
+
+    Candidate generation: split each 64-bit fingerprint into
+    (hamming_max + 1) blocks; by pigeonhole every qualifying pair shares at
+    least one block, so recall is 1.0.  Verification: JVM-side
+    bit_count(xor) — no Python in the hot path after sketching.
+    """
+    num_blocks = cfg.simhash_hamming_max + 1
+    sh = sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col)
+
+    block_udf = F.udf(lambda s: simhash_blocks(s & 0xFFFFFFFFFFFFFFFF, num_blocks),
+                      "array<long>")
+    # block computation is a tiny per-row op on the (small) fingerprint table;
+    # acceptable python — the pairwise hot path below is JVM-only.
+    keyed = sh.select("doc_id", "simhash",
+                      F.explode(block_udf(F.col("simhash"))).alias("bk"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= cfg.simhash_hamming_max)
+        .distinct()
+    )
+
+
+def simhash_dedup(docs: DataFrame, cfg: PipelineConfig,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash dedup assignments: (doc_id, cluster_id, is_rep)."""
+    edges = simhash_edges(docs, cfg, id_col=id_col, text_col=text_col)
+    membership = connected_components(edges)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    return assignments_from_components(
+        base.filter(F.length("text") >= cfg.min_len), membership
+    )
+
+
+def token_ngrams(df: DataFrame, n: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) distinct word n-grams, pure column expressions
+    (split -> transform(sequence) -> array_distinct -> explode)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
+                        block_col: str | None = None, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Token n-gram Jaccard similar pairs: (src, dst, common, jaccard).
+
+    Entirely JVM-side (no UDFs).  ``block_col`` restricts comparisons to a
+    blocking key (at web scale: a cheap pre-filter such as source/host/lang);
+    None compares all pairs (tests only).
+    """
+    cols = [id_col, text_col] + ([block_col] if block_col else [])
+    base = docs.select(*cols)
+    g = token_ngrams(base, n, id_col=id_col, text_col=text_col)
+    if block_col:
+        g = g.join(base.select(F.col(id_col).cast("long").alias("doc_id"),
+                               F.col(block_col).alias("_blk")), "doc_id")
+        join_cond = ["gram", "_blk"]
+    else:
+        join_cond = ["gram"]
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_cond]
+    pairs = (
+        a.join(b, cond)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "src")
+                        .withColumnRenamed("n_grams", "na"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n_grams", "nb"), "dst")
+        .withColumn("jaccard",
+                    F.round(F.col("common") /
+                            (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("src", "dst", "common", "jaccard")
+    )
+    return out

@@ -1,0 +1,166 @@
+"""Candidate-pair generation + distance evaluation -> edges DataFrame.
+
+Two modes:
+
+**index** (reference-parity): explode sketch hash values and self-join on the
+hash — the DataFrame form of the reference's inverted-index posting-list
+self-join + epoch-stamped intersection counting (src/MST.cpp:399-575,
+src/SketchInfo.h:59-161).  groupBy(src,dst).count() IS the per-pair
+intersection count (src/MST.cpp:428-487).  Pruning predicates are applied in
+reference order: size-ratio before the aggregate consumer
+(src/MST.cpp:504-512), common-count lower bound as HAVING
+(src/greedy.cpp:649-653).  Hot-hash skew is defused exactly like the
+reference's --max-posting (src/dbscan.cpp:95-220): hashes whose posting list
+exceeds the cap are dropped from pair generation.
+
+**banded** (scale path): join on LSH band keys from the k-permutation
+signature — O(candidate pairs) instead of O(sum posting^2) — then verify each
+candidate with an exact JVM-side ``array_intersect`` of the bottom-s sketches
+(the reference's sorted-array merge intersection, src/greedy.cpp:39-67).
+
+Both modes end in the same Mash/containment distance column expressions and a
+``dist <= threshold`` filter, producing ``edges(src, dst, dist)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.functions.distances import (
+    common_lower_bound_expr,
+    containment_distance_expr,
+    jaccard_expr,
+    mash_distance_expr,
+    size_ratio_pred,
+)
+
+
+def explode_postings(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """sketches(doc_id, n, sig) -> postings(h, doc_id, n).
+
+    The lazily-fused DataFrame form of the reference's pipelined
+    sketch+index build (src/SketchInfo.cpp:1216-1229).
+    """
+    postings = sketches.select(
+        F.explode("sig").alias("h"), F.col("doc_id"), F.col("n")
+    )
+    if cfg.max_posting is not None:
+        # --max-posting analog: drop hashes hotter than the cap
+        # (src/dbscan.cpp:95-220).  Computed with a shuffle-local count join;
+        # AQE handles residual skew.
+        counts = postings.groupBy("h").agg(F.count("*").alias("_pl"))
+        postings = (
+            postings.join(counts.filter(F.col("_pl") <= cfg.max_posting), "h")
+            .drop("_pl")
+        )
+    return postings
+
+
+def pair_counts_index(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Inverted-index pair generation: (src, dst, n1, n2, common).
+
+    src < dst dedup mirrors the reference's j<i convention
+    (src/MST.cpp:446-455).
+    """
+    p = explode_postings(sketches, cfg)
+    a = p.alias("a")
+    b = p.alias("b")
+    joined = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+    )
+    # size-ratio pruning BEFORE the aggregate (src/MST.cpp:504-512); Catalyst
+    # pushes this below the shuffle for the groupBy.
+    joined = joined.where(size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
+    pairs = joined.groupBy("src", "dst", "n1", "n2").agg(F.count("*").alias("common"))
+    # HAVING common >= lower bound (src/greedy.cpp:649-653)
+    return pairs.where(
+        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
+    )
+
+
+def candidate_pairs_banded(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Banded-LSH candidate pairs: (src, dst), distinct.
+
+    bands = (doc_id, band_keys array<long>).  Hot-band cap = --max-posting
+    analog applied to band keys.
+    """
+    exploded = bands.select(F.col("doc_id"), F.explode("band_keys").alias("bk"))
+    if cfg.max_posting is not None:
+        counts = exploded.groupBy("bk").agg(F.count("*").alias("_bl"))
+        exploded = (
+            exploded.join(counts.filter(F.col("_bl") <= cfg.max_posting), "bk")
+            .drop("_bl")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
+                       cfg: PipelineConfig) -> DataFrame:
+    """Verify banded candidates with exact sketch intersection:
+    (src, dst, n1, n2, common) via JVM array_intersect
+    (reference merge-intersection, src/greedy.cpp:39-67,73-99)."""
+    cand = candidate_pairs_banded(bands, cfg)
+    s = sketches.select("doc_id", "n", "sig")
+    joined = (
+        cand.join(s.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n", "n1")
+                   .withColumnRenamed("sig", "sig1"), "src")
+        .join(s.withColumnRenamed("doc_id", "dst")
+               .withColumnRenamed("n", "n2")
+               .withColumnRenamed("sig", "sig2"), "dst")
+        .where(size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
+        .select(
+            "src", "dst", "n1", "n2",
+            F.size(F.array_intersect("sig1", "sig2")).alias("common"),
+        )
+    )
+    return joined.where(
+        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
+    )
+
+
+def edges_from_pair_counts(pairs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(src, dst, n1, n2, common) -> edges(src, dst, dist) with dist <= threshold.
+
+    Distance = Mash (src/MST.cpp:520-528) or containment/AAF
+    (src/MST.cpp:529-540) per config.
+    """
+    j = jaccard_expr(F.col("common"), F.col("n1"), F.col("n2"))
+    if cfg.containment:
+        dist = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
+                                         cfg.distance_k)
+    else:
+        dist = mash_distance_expr(j, cfg.distance_k)
+    return (
+        pairs.withColumn("dist", dist)
+        .where(F.col("dist") <= cfg.threshold)  # forest cut (src/MST.cpp:77-85)
+        .select("src", "dst", "dist")
+    )
+
+
+def build_edges(sketches: DataFrame, cfg: PipelineConfig,
+                bands: DataFrame | None = None) -> DataFrame:
+    """sketches (+bands in banded mode) -> thresholded edges(src, dst, dist)."""
+    if cfg.pair_mode == "banded":
+        if bands is None:
+            raise ValueError("banded pair_mode requires a bands DataFrame")
+        pairs = pair_counts_banded(sketches, bands, cfg)
+    else:
+        pairs = pair_counts_index(sketches, cfg)
+    return edges_from_pair_counts(pairs, cfg)
