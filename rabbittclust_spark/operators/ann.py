@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: correctness baseline; broadcast the (small) query
+  set against the corpus, JVM-side zip_with/aggregate dot products, ranking
+  window for top-k.
+- LSH-bucketed cosine (random hyperplane / sign-random-projection): the scale
+  path — bucket by sign-pattern key, compare only within bucket (multi-probe
+  via multiple independent tables).
+- embedding near-dup pairs: cosine >= tau edges, feeding the same connected-
+  components machinery as the text dedup paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.functions.distances import cosine_expr
+from rabbittclust_spark.functions.hashing import splitmix64
+
+
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int | None = 6) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank), self excluded.
+
+    The query side is broadcast — at scale the corpus stays partitioned and
+    never shuffles; each task scans its corpus slice against all queries.
+    Ties broken by neighbor_id for determinism.
+    """
+    c = _prep(corpus, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = cosine_expr(F.col("vec"), F.col("qvec"))
+    scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                           cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            use_lsh: bool = False, num_planes: int = 16,
+                            num_tables: int = 4, seed: int = 7,
+                            round_dp: int | None = 6) -> DataFrame:
+    """Near-duplicate embedding pairs: (src, dst, cos) with cos >= tau.
+
+    use_lsh=False: all-pairs (tests / small corpora).
+    use_lsh=True: sign-random-projection buckets; only within-bucket pairs
+    are scored (recall < 1, tunable via num_planes/num_tables) — the path
+    that survives a 100x scale-up.
+    """
+    e = _prep(embeddings, id_col, vec_col)
+    if use_lsh:
+        keyed = srp_bucket_keys(e, num_planes=num_planes, num_tables=num_tables,
+                                seed=seed)
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cand = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+                .where(F.col("a.vec_id") < F.col("b.vec_id"))
+                .select(F.col("a.vec_id").alias("src"),
+                        F.col("b.vec_id").alias("dst"))
+                .distinct()
+                .join(e.select(F.col("vec_id").alias("src"),
+                               F.col("vec").alias("va")), "src")
+                .join(e.select(F.col("vec_id").alias("dst"),
+                               F.col("vec").alias("vb")), "dst"))
+    else:
+        a = e.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
+        b = e.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
+        cand = a.join(b, F.col("src") < F.col("dst"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    out = cand.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out
+
+
+def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,
+                    num_tables: int = 4, seed: int = 7) -> DataFrame:
+    """Sign-random-projection bucket keys: (vec_id, bucket) — num_tables rows
+    per vector.  Hyperplanes are derived from a fixed seed so keys are
+    deterministic across workers; the dot products run as a vectorized
+    pandas UDF (Arrow batches)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    dim_row = vectors.select(F.size("vec").alias("d")).first()
+    if dim_row is None:
+        return vectors.sparkSession.createDataFrame([], "vec_id long, bucket long")
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+
+    @pandas_udf("array<long>")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (n, dim)
+        keys = []
+        signs_all = []
+        for t in range(num_tables):
+            proj = mat @ planes[t].T  # (n, num_planes)
+            bits = (proj > 0).astype(np.uint64)
+            key = np.zeros(len(mat), dtype=np.uint64)
+            for p in range(num_planes):
+                key |= bits[:, p] << np.uint64(p)
+            # mix table index into the key so tables don't collide
+            signs_all.append(splitmix64(key + np.uint64(t << 32)).astype(np.int64))
+        keys = np.stack(signs_all, axis=1)
+        return pd.Series(list(keys))
+
+    return vectors.select("vec_id", F.explode(bucket_udf("vec")).alias("bucket"))

@@ -137,10 +137,14 @@ def token_ngrams(df: DataFrame, n: int, id_col: str = "doc_id",
     """(doc_id, gram) distinct word n-grams, pure column expressions
     (split -> transform(sequence) -> array_distinct -> explode)."""
     toks = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # guard: sequence(0, -1) in Spark descends, so gate on size >= n
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array_distinct(grams)).alias("gram"),

@@ -1,0 +1,37 @@
+"""Testdata / stage-table IO helpers.
+
+The driver's parquet tables live at /root/testdata/sf*/ (TESTDATA.md).
+Stage tables are written as parquet directories with an Iceberg-ready layout
+(one directory per stage under the pipeline output root); on a real cluster
+these become `writeTo(...).createOrReplace()` Iceberg tables — the layout and
+schemas are identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def write_stage(df: DataFrame, out_root: str, stage: str,
+                partition_by: list[str] | None = None) -> str:
+    path = os.path.join(out_root, stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return path
+
+
+def read_stage(spark: SparkSession, out_root: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_root, stage))
