@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +96,6 @@ def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,
     per vector.  Hyperplanes are derived from a fixed seed so keys are
     deterministic across workers; the dot products run as a vectorized
     pandas UDF (Arrow batches)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     dim_row = vectors.select(F.size("vec").alias("d")).first()

@@ -1,0 +1,58 @@
+"""Dedup suite: exact, simhash, ngram-jaccard on hand-built cases."""
+
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    token_ngrams,
+)
+
+CFG = PipelineConfig(min_len=10)
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "aaa")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.canonical_id for r in exact_dedup(docs).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+
+
+def test_simhash_dedup_exact_dups_cocluster(spark):
+    t = "the quick brown fox jumps over the lazy dog " * 20
+    u = t.replace("lazy", "hazy")  # tiny perturbation
+    v = "completely different content about spark engines " * 20
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, u), (4, v)], "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in simhash_dedup(docs, CFG).collect()}
+    assert got[1] == got[2] == 1
+    assert got[4] != got[1]
+
+
+def test_token_ngrams():
+    spark_df_rows = [(1, "a b c d")]
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    df = spark.createDataFrame(spark_df_rows, "doc_id long, text string")
+    grams = sorted(r.gram for r in token_ngrams(df, 2).collect())
+    assert grams == ["a b", "b c", "c d"]
+    # short doc -> no n-grams, no crash
+    df2 = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert token_ngrams(df2, 3).count() == 0
+
+
+def test_ngram_jaccard_hand_case(spark):
+    # doc1/doc2 share 2 of their 3-gram union
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        "doc_id long, text string")
+    rows = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # grams1 = {abc,bcd,cde}, grams2 = {abc,bcd,cdx}; common=2, union=4
+    assert (r.src, r.dst, r.common) == (1, 2, 2)
+    assert abs(r.jaccard - 0.5) < 1e-9

@@ -1,0 +1,122 @@
+"""Unit/property tests: MinHash sketches + distance math
+(reference formulas src/MST.cpp:514-540, src/greedy.cpp:73-147)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.functions.minhash import (
+    band_hashes,
+    bottom_s_sketch,
+    containment_distance,
+    frac_minhash_sketch,
+    jaccard_from_common,
+    kperm_signature,
+    mash_distance,
+    sketch_common,
+)
+
+
+def _doc(rng: random.Random, n_tokens: int = 2000) -> str:
+    words = [f"w{i:03d}" for i in range(500)]
+    return " ".join(rng.choices(words, k=n_tokens))
+
+
+def _mutate(text: str, rate: float, rng: random.Random) -> str:
+    return " ".join(t if rng.random() > rate else "MUT" + t
+                    for t in text.split())
+
+
+def test_bottom_s_is_smallest_sorted():
+    t = _doc(random.Random(0))
+    s = bottom_s_sketch(t, 21, 100)
+    full = bottom_s_sketch(t, 21, 10**9)
+    assert len(s) == 100
+    assert np.array_equal(s, np.sort(full)[:100])
+
+
+def test_jaccard_estimate_within_ci():
+    """MinHash Jaccard estimate close to true shingle-set Jaccard."""
+    rng = random.Random(7)
+    t1 = _doc(rng)
+    t2 = _mutate(t1, 0.05, rng)
+    from rabbittclust_spark.functions.hashing import shingle_hashes
+    h1, h2 = shingle_hashes(t1, 21), shingle_hashes(t2, 21)
+    true_j = len(np.intersect1d(h1, h2)) / len(np.union1d(h1, h2))
+    s1, s2 = bottom_s_sketch(t1, 21, 1000), bottom_s_sketch(t2, 21, 1000)
+    est_j = jaccard_from_common(sketch_common(s1, s2), len(s1), len(s2))
+    # s=1000 -> stderr ~ sqrt(j(1-j)/s) ~ 0.016; allow 4 sigma
+    assert abs(est_j - true_j) < 0.07
+
+
+def test_mash_distance_reference_values():
+    # D = -(1/k) ln(2J/(1+J)) (src/MST.cpp:520-528)
+    assert mash_distance(1.0, 21) == 0.0
+    assert mash_distance(0.0, 21) == 1.0
+    j = 0.5
+    assert math.isclose(mash_distance(j, 21), -math.log(2 * j / (1 + j)) / 21)
+    # clamped at 1
+    assert mash_distance(1e-12, 2) == 1.0
+
+
+def test_containment_distance_reference_values():
+    # D = -(1/k) ln(c), c = common/min(n1,n2) (src/MST.cpp:529-540)
+    assert containment_distance(100, 100, 1000, 21) == 0.0
+    assert containment_distance(0, 100, 1000, 21) == 1.0
+    c = 50 / 100
+    assert math.isclose(containment_distance(50, 100, 1000, 21),
+                        -math.log(c) / 21)
+
+
+def test_config_bounds_match_reference_math():
+    cfg = PipelineConfig()
+    d, k = cfg.threshold, cfg.distance_k
+    assert math.isclose(cfg.max_size_ratio(), 2 * math.exp(d * k) - 1)
+    x = math.exp(-d * k)
+    assert math.isclose(cfg.jaccard_min(), x / (2 - x))
+    # round-trip: mash_distance(jaccard_min) == threshold
+    assert math.isclose(mash_distance(cfg.jaccard_min(), k), d, rel_tol=1e-9)
+
+
+def test_threshold_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(threshold=0.9, sketch_size=1000)
+
+
+def test_frac_minhash_is_filtered_subset():
+    t = _doc(random.Random(3))
+    full = bottom_s_sketch(t, 21, 10**9)
+    frac = frac_minhash_sketch(t, 21, scale=64)
+    cutoff = (1 << 64) // 64
+    assert np.array_equal(frac, full[full < cutoff])
+    # containment property: sketch of a slice is mostly a subset
+    part = frac_minhash_sketch(t[: len(t) // 2], 21, scale=64)
+    inter = np.intersect1d(part, frac)
+    assert len(inter) >= 0.95 * len(part)
+
+
+def test_kperm_signature_similarity():
+    rng = random.Random(11)
+    t1 = _doc(rng)
+    t2 = _mutate(t1, 0.02, rng)
+    t3 = _doc(random.Random(999))
+    s1 = kperm_signature(t1, 21, 128, perm_seed=348842630)
+    s2 = kperm_signature(t2, 21, 128, perm_seed=348842630)
+    s3 = kperm_signature(t3, 21, 128, perm_seed=348842630)
+    near = (s1 == s2).mean()
+    far = (s1 == s3).mean()
+    assert near > 0.5
+    assert far < 0.1
+
+
+def test_band_hashes_shared_bands():
+    rng = random.Random(13)
+    t1 = _doc(rng)
+    t2 = _mutate(t1, 0.01, rng)
+    b1 = band_hashes(kperm_signature(t1, 21, 128, perm_seed=348842630), 2)
+    b2 = band_hashes(kperm_signature(t2, 21, 128, perm_seed=348842630), 2)
+    assert len(b1) == 64
+    assert (b1 == b2).sum() >= 1  # near-dups share at least one band

@@ -1,0 +1,50 @@
+"""Unit tests: SimHash fingerprints + block LSH (pigeonhole recall)."""
+
+import random
+
+from rabbittclust_spark.functions.simhash import hamming64, simhash64, simhash_blocks
+
+
+def _doc(rng, n=2000):
+    words = [f"w{i:03d}" for i in range(500)]
+    return " ".join(rng.choices(words, k=n))
+
+
+def test_identical_docs_zero_hamming():
+    t = _doc(random.Random(0))
+    assert simhash64(t, 21) == simhash64(t, 21)
+
+
+def test_near_vs_far_hamming():
+    rng = random.Random(1)
+    t1 = _doc(rng)
+    t2 = " ".join(t if rng.random() > 0.002 else "X" + t for t in t1.split())
+    t3 = _doc(random.Random(2))
+    near = hamming64(simhash64(t1, 21), simhash64(t2, 21))
+    far = hamming64(simhash64(t1, 21), simhash64(t3, 21))
+    assert near < far
+    assert far > 10
+
+
+def test_blocks_pigeonhole():
+    """Pairs within hamming distance h share >= 1 of (h+1) blocks."""
+    rng = random.Random(3)
+    for _ in range(50):
+        a = rng.getrandbits(64)
+        # flip exactly 3 bits
+        b = a
+        for pos in rng.sample(range(64), 3):
+            b ^= 1 << pos
+        assert hamming64(a, b) <= 3
+        ba, bb = simhash_blocks(a, 4), simhash_blocks(b, 4)
+        assert len(set(ba) & set(bb)) >= 1
+
+
+def test_blocks_cover_all_bits():
+    a = (1 << 64) - 1
+    blocks = simhash_blocks(a, 4)
+    assert len(blocks) == 4
+    # reconstructing widths: total bits covered == 64
+    widths = [16, 16, 16, 16]
+    for i, blk in enumerate(blocks):
+        assert blk == (i << 56) | ((1 << widths[i]) - 1)
