@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <flagship seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs": N, "docs_per_sec": ...}
+
+The flagship is the MinHash+LSH dedup pipeline (sketch -> candidate pairs ->
+Mash distance -> connected components -> assignments) over the documents
+table.  Scaling evidence (local[8] vs local[32]) lives in
+tools/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from rabbittclust_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warmup: absorb JVM + Arrow python-worker startup so query timings
+    # measure operators, not session boot
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.count()
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.sketch import sketch_minhash
+    sketch_minhash(docs.limit(64), PipelineConfig(min_len=20)).count()
+    headline = [
+        "minhash_dedup",          # flagship (index mode, reference parity)
+        "minhash_dedup_banded",   # scale path
+        "exact_dedup",
+        "simhash_dedup",
+        "ngram_jaccard",
+        "token_pair_mash",
+        "text_quality",
+        "ann_cosine_topk",
+        "topk_orders",
+        "events_stats",
+    ]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    flagship = timings["minhash_dedup"]
+    out = {
+        "metric": "minhash_lsh_dedup_wall_seconds",
+        "value": flagship,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
+        "rows": rows,
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

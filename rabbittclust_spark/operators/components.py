@@ -60,14 +60,50 @@ def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["s"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-edge-set fast path: collect + union-find on the driver
+    (the reference's own clustering is driver-side, src/UnionFind.h:5-90).
+    Produces the identical (doc_id, cluster_id=component min) result as the
+    distributed path — equivalence is tested in tests/test_components.py."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(x, find(x)) for x in parent]
+    return e.sparkSession.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         driver_cutoff: int = 2_000_000) -> DataFrame:
     """edges -> membership(doc_id, cluster_id) for every node appearing in edges.
 
     cluster_id = the minimum doc_id of the component (deterministic canonical
     representative, matching the order-free semantics SURVEY.md §2.8 requires).
     Nodes with no edges are absent — callers attach singletons with a left
     join (see postprocess.assignments_from_components).
+
+    Edge sets at or below ``driver_cutoff`` rows run as a driver-side
+    union-find (same rationale as Spark's broadcast-join threshold: the
+    near-dup edge set after the threshold cut is usually far smaller than the
+    corpus).  Larger sets run the distributed star iterations.  Set
+    driver_cutoff=0 to force the distributed path.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"),
@@ -77,6 +113,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .localCheckpoint(eager=True)
     )
     prev_fp = _edge_fingerprint(e)
+    if prev_fp[0] <= driver_cutoff:
+        return _driver_union_find(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _edge_fingerprint(e2)

@@ -36,21 +36,23 @@ def _bfs_components(n_nodes, edges):
     return {x: seen[x] for x in nodes}
 
 
-def _spark_cc(spark, edges):
+def _spark_cc(spark, edges, driver_cutoff=2_000_000):
     df = spark.createDataFrame(edges, "src long, dst long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, driver_cutoff=driver_cutoff).collect()
     return {r.doc_id: r.cluster_id for r in rows}
 
 
 def test_cc_matches_bfs_random_graphs(spark):
+    """Both the distributed star path (driver_cutoff=0) and the driver
+    union-find fast path must match the BFS oracle."""
     rng = random.Random(42)
     for trial in range(3):
         n = 60
         edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
         edges = [(u, v) for u, v in edges if u != v]
         expected = _bfs_components(n, edges)
-        got = _spark_cc(spark, edges)
-        assert got == expected, f"trial {trial}"
+        assert _spark_cc(spark, edges, driver_cutoff=0) == expected, f"dist {trial}"
+        assert _spark_cc(spark, edges) == expected, f"driver {trial}"
 
 
 def test_cc_edge_order_invariance(spark):
@@ -65,10 +67,10 @@ def test_cc_edge_order_invariance(spark):
 
 
 def test_cc_chain_and_star(spark):
-    # long chain (worst case for naive propagation) + star
+    # long chain (worst case for naive propagation) + star; distributed path
     chain = [(i, i + 1) for i in range(30)]
     star = [(100, 100 + i) for i in range(1, 20)]
-    got = _spark_cc(spark, chain + star)
+    got = _spark_cc(spark, chain + star, driver_cutoff=0)
     assert all(got[i] == 0 for i in range(31))
     assert all(got[100 + i] == 100 for i in range(20))
 
