@@ -275,6 +275,78 @@ def _q_minhash_cluster_stats(spark, sf_dir):
     return cluster_stats(a)
 
 
+def _q_fracminhash_containment(spark, sf_dir):
+    """FracMinHash sketch + containment distance (reference --fast + -c path,
+    src/SketchInfo.cpp:274-433, src/MST.cpp:529-540)."""
+    import dataclasses
+
+    from rabbittclust_spark.operators.pairs import build_edges
+    from rabbittclust_spark.operators.sketch import sketch_fracminhash
+
+    cfg = dataclasses.replace(_CFG, containment=True, frac_scale=4,
+                              pair_mode="index")
+    sk = sketch_fracminhash(_docs(spark, sf_dir), cfg)
+    return build_edges(sk, cfg).orderBy("src", "dst")
+
+
+def _q_dedup_medoid(spark, sf_dir):
+    """--dedup-dist medoid collapse (src/cluster_postprocess.cpp:60-157)."""
+    from rabbittclust_spark.operators.postprocess import dedup_medoid_collapse
+
+    out = minhash_dedup(_docs(spark, sf_dir), _CFG)
+    return dedup_medoid_collapse(
+        out["assignments"], out["edges"],
+        out["sketches"].select("doc_id", "len"),
+        dedup_dist=_CFG.threshold / 2)
+
+
+def _q_incremental_append(spark, sf_dir):
+    """--append semantics (src/mst_state.h:13-30): first half of documents is
+    the persisted state, second half is the appended batch."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.streaming.incremental import append_batch
+
+    docs = _docs(spark, sf_dir)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0]["m"]
+    old = docs.where(F.col("doc_id") <= half)
+    new = docs.where(F.col("doc_id") > half)
+    state = minhash_dedup(old, _CFG)
+    out = append_batch(state["sketches"],
+                       state["assignments"].select("doc_id", "cluster_id"),
+                       new, _CFG)
+    return out["assignments"].orderBy("doc_id")
+
+
+def _q_repdb_topk(spark, sf_dir):
+    """RepDB --query top-k (src/greedy.cpp:2536-2638)."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.operators.sketch import sketch_minhash
+    from rabbittclust_spark.streaming.incremental import query_topk
+
+    docs = _docs(spark, sf_dir)
+    reps = sketch_minhash(docs.where(F.col("doc_id") % 5 != 0), _CFG)
+    queries_df = docs.where(F.col("doc_id") % 25 == 0)
+    return query_topk(reps, queries_df, _CFG, k=3) \
+        .select("query_id", "rep_id", F.round("dist", 6).alias("dist"), "rank")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (stub codecs, real Spark machinery)."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit(640).alias("width"), F.lit(480).alias("height"),
+                 F.lit(None).cast("int").alias("sample_rate"),
+                 F.lit(None).cast("int").alias("duration_ms")).alias("meta"))
+    return extract_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / filters / stats (SURVEY.md §2.1-2.2)
@@ -287,6 +359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_banded": _q_minhash_dedup_banded,
         "simhash_dedup": _q_simhash_dedup,
         "minhash_cluster_stats": _q_minhash_cluster_stats,
+        "fracminhash_containment": _q_fracminhash_containment,
+        "dedup_medoid": _q_dedup_medoid,
+        "incremental_append": _q_incremental_append,
+        "repdb_topk": _q_repdb_topk,
+        "multimodal_features": _q_multimodal_features,
         # posting-list join + distances (§2.4-2.5, §2.9)
         "token_pair_mash": _q_token_pair_mash,
         "ani_histogram": _q_ani_histogram,

@@ -37,7 +37,10 @@ class PipelineConfig:
 
     # --- candidate generation ---
     pair_mode: str = "index"      # "index" (reference-parity inverted index,
-                                  #  src/MST.cpp:399-575) | "banded" (LSH scale path)
+                                  #  src/MST.cpp:399-575) | "probe" (bottom-B
+                                  #  probe join + exact verify, scale default)
+                                  #  | "banded" (k-perm LSH bands)
+    probe_hashes: int = 64        # B for probe mode; pair miss prob (1-J)^B
     max_posting: int | None = None  # cap posting-list length; hashes hotter than
                                     # this are dropped (ref --max-posting,
                                     # src/dbscan.cpp:95-220). None = unlimited.
@@ -68,8 +71,9 @@ class PipelineConfig:
     shuffle_partitions: int = 32
 
     def __post_init__(self) -> None:
-        if self.pair_mode not in ("index", "banded"):
-            raise ValueError(f"pair_mode must be 'index' or 'banded', got {self.pair_mode!r}")
+        if self.pair_mode not in ("index", "probe", "banded"):
+            raise ValueError(
+                f"pair_mode must be 'index', 'probe', or 'banded', got {self.pair_mode!r}")
         if self.perm_count % self.rows_per_band != 0:
             raise ValueError("perm_count must be divisible by rows_per_band")
         maxd = self.max_resolvable_distance()

@@ -65,7 +65,17 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     (the reference's own clustering is driver-side, src/UnionFind.h:5-90).
     Produces the identical (doc_id, cluster_id=component min) result as the
     distributed path — equivalence is tested in tests/test_components.py."""
-    parent: dict[int, int] = {}
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()  # Arrow transfer, no per-row Row objects
+    if pdf.empty:
+        return e.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+    us = pdf["u"].to_numpy(dtype=np.int64)
+    vs = pdf["v"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
+    ui, vi = inv[: len(us)], inv[len(us):]
+    parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(x: int) -> int:
         r = x
@@ -73,20 +83,21 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             r = parent[r]
         while parent[x] != r:
             parent[x], x = r, parent[x]
-        return r
+        return int(r)
 
-    for row in e.collect():
-        u, v = row["u"], row["v"]
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            if ru < rv:
-                parent[rv] = ru
+    for a, b in zip(ui.tolist(), vi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # nodes is sorted, so smaller index == smaller doc_id; rooting
+            # at the smaller index keeps cluster_id = component-min doc
+            if ra < rb:
+                parent[rb] = ra
             else:
-                parent[ru] = rv
-    rows = [(x, find(x)) for x in parent]
-    return e.sparkSession.createDataFrame(rows, "doc_id long, cluster_id long")
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[roots]})
+    return e.sparkSession.createDataFrame(out)  # Arrow path
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -110,11 +121,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                      F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # fingerprint + (small path) collect run on the LAZY plan: actions keep
+    # AQE active, whereas eager localCheckpoint would execute the plan with
+    # AQE finalization disabled (observed: SMJ sorting wide payload rows).
     prev_fp = _edge_fingerprint(e)
     if prev_fp[0] <= driver_cutoff:
         return _driver_union_find(e)
+    e = e.localCheckpoint(eager=True)  # big path: pay materialization once
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _edge_fingerprint(e2)

@@ -37,21 +37,34 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
-                  id_col: str = "doc_id", text_col: str = "text"
-                  ) -> dict[str, DataFrame]:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  materialize: bool = True) -> dict[str, DataFrame]:
     """The flagship pipeline: docs -> assignments at cfg.threshold.
 
     Stages (SURVEY.md §7 minimum slice): optional exact pre-collapse ->
-    bottom-s MinHash sketch -> candidate pairs (index or banded mode) ->
+    bottom-s MinHash sketch -> candidate pairs (index/probe/banded mode) ->
     Mash distance -> threshold filter -> large-star/small-star CC ->
     assignments with singletons.  Returns the intermediate DataFrames so the
     plan orchestrator can checkpoint each stage.
+
+    materialize=True localCheckpoints the sketch and edge stages so the
+    expensive UDF/join lineage executes exactly once even though the CC
+    fixpoint and the final assignment join consume them in several actions
+    (the parquet-table pipeline in plans/pipeline.py persists stages anyway;
+    this flag serves the in-memory path).
     """
+    from rabbittclust_spark.sources.tables import materialize as _mat
+
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        F.col(text_col).alias("text"))
 
     if cfg.exact_prededup:
         exact = exact_dedup(base)
+        if materialize:
+            # barrier: joining two branches that both re-derive `base`
+            # (e.g. through an extract UDF) plans pathologically; a parquet
+            # barrier makes the canon join a plain scan ⋈ scan.
+            exact = _mat(exact, "exact")
         canon_docs = (
             base.join(exact.where(F.col("doc_id") == F.col("canonical_id"))
                       .select("doc_id"), "doc_id")
@@ -61,8 +74,12 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
         canon_docs = base
 
     sketches = sketch_minhash(canon_docs, cfg)
+    if materialize:
+        sketches = _mat(sketches, "sketches")
     bands = sketch_bands(canon_docs, cfg) if cfg.pair_mode == "banded" else None
     edges = build_edges(sketches, cfg, bands=bands)
+    if materialize:
+        edges = _mat(edges, "edges")
     membership = connected_components(edges)
     canon_assign = assignments_from_components(
         canon_docs.filter(F.length("text") >= cfg.min_len), membership
@@ -97,8 +114,13 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
     least one block, so recall is 1.0.  Verification: JVM-side
     bit_count(xor) — no Python in the hot path after sketching.
     """
+    from rabbittclust_spark.sources.tables import materialize as _mat
+
     num_blocks = cfg.simhash_hamming_max + 1
-    sh = sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col)
+    # barrier before the self-join: both join branches would otherwise
+    # re-execute the sketch UDF (see minhash_dedup)
+    sh = _mat(sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col),
+              "simhash")
 
     block_udf = F.udf(lambda s: simhash_blocks(s & 0xFFFFFFFFFFFFFFFF, num_blocks),
                       "array<long>")

@@ -1,0 +1,103 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, batching, partition strategy, UDF
+signatures) is real and tested; the codec kernels are STUBS — image/audio
+libraries are not in this container.  Each decode function either raises
+NotImplementedError (strict mode) or produces a deterministic fake derived
+from the bytes (test mode), so the distributed machinery around them can be
+exercised end-to-end.
+
+Schemas:
+  media(doc_id long, kind string, payload binary,
+        meta struct<width:int, height:int, sample_rate:int, duration_ms:int>)
+  features(doc_id long, kind string, feature array<float>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("doc_id long, kind string, payload binary, "
+                "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>")
+FEATURE_SCHEMA = "doc_id long, kind string, feature array<float>"
+
+FEATURE_DIM = 64
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decode+embed kernel: a fixed-seed
+    projection of the byte histogram.  Replace with a real codec (PIL /
+    torchaudio / decord) on a cluster with the libraries installed."""
+    hist = np.bincount(np.frombuffer(payload or b"\x00", dtype=np.uint8),
+                       minlength=256).astype(np.float64)
+    rng = np.random.default_rng(1234)
+    proj = rng.standard_normal((256, dim))
+    v = hist @ proj
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
+    """STUB: real implementation decodes to HxWx3 uint8 (PIL/libvips)."""
+    raise NotImplementedError("image codec not available in this container")
+
+
+def decode_audio(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
+    """STUB: real implementation decodes PCM float32 (ffmpeg/torchaudio)."""
+    raise NotImplementedError("audio codec not available in this container")
+
+
+def sample_video_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cover
+    """STUB: real implementation yields frame arrays (decord/ffmpeg)."""
+    raise NotImplementedError("video codec not available in this container")
+
+
+def extract_features(media: DataFrame, strict: bool = False,
+                     batch_limit_bytes: int = 64 << 20) -> DataFrame:
+    """media -> features via mapInPandas (Arrow batches of binary payloads).
+
+    Partition strategy: payloads are opaque blobs, so the UDF is per-row
+    independent -> narrow map, no shuffle; Arrow batch size is bounded by the
+    session's maxRecordsPerBatch and payloads stream batch-by-batch (the
+    iterator form never holds a whole partition in memory).
+    strict=True uses the real (stubbed) codecs and therefore raises.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if strict:
+                    if kind == "image":
+                        decode_image(payload)
+                    elif kind == "audio":
+                        decode_audio(payload)
+                    else:
+                        sample_video_frames(payload)
+                feats.append(_fake_feature(bytes(payload) if payload is not None else b""))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "feature": [f.tolist() for f in feats],
+            })
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        compute, schema=FEATURE_SCHEMA)
+
+
+def resize_metadata(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Pure-relational resize planning (no decode): compute target dims from
+    metadata, preserving aspect ratio — demonstrates typed-metadata columns.
+    """
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when((w >= h) & (w > max_side), max_side / w) \
+        .when((h > w) & (h > max_side), max_side / h).otherwise(F.lit(1.0))
+    return media.withColumn(
+        "target",
+        F.struct(F.round(w * scale).cast("int").alias("width"),
+                 F.round(h * scale).cast("int").alias("height")))

@@ -87,6 +87,74 @@ def pair_counts_index(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Probe-subset candidate generation + exact verification (scale path #2).
+
+    Candidates = pairs sharing >= 1 of each doc's bottom-``probe_hashes``
+    sketch values (the sketch array is sorted ascending, so a slice is the
+    bottom-B subset).  For a pair with true sketch Jaccard J the miss
+    probability is ~(1-J)^B — at B=64 and the d=0.05 boundary (J=0.212)
+    that is 2e-7, far inside the recall>=0.99 budget.  Verification computes
+    the EXACT intersection count via JVM array_intersect (the reference's
+    sorted-array merge intersection, src/greedy.cpp:39-67), so distances are
+    identical to index mode; only candidate discovery is probabilistic.
+
+    Scale rationale: posting rows shrink s/B-fold (16x at defaults), and the
+    heavy work moves from the skewed posting join to the per-pair verify
+    join, which parallelizes by pair with no hot keys.
+    """
+    b = int(cfg.probe_hashes)
+    probes = sketches.select(
+        F.col("doc_id"), F.col("n"),
+        F.explode(F.slice("sig", 1, b)).alias("h"),
+    )
+    if cfg.max_posting is not None:
+        counts = probes.groupBy("h").agg(F.count("*").alias("_pl"))
+        probes = (probes.join(counts.filter(F.col("_pl") <= cfg.max_posting), "h")
+                  .drop("_pl"))
+    pa, pb = probes.alias("a"), probes.alias("b")
+    cand = (
+        pa.join(pb, F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(size_ratio_pred(F.col("a.n"), F.col("b.n"), cfg.max_size_ratio()))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    # materialize the candidate set: splits the query at its natural barrier.
+    # Observed on Spark 4.1: fusing candidate-gen + verify into one plan
+    # executes the verify join orders of magnitude slower than running the
+    # two halves as separate jobs (each is seconds); a persisted candidate
+    # table is also what the checkpointed pipeline does anyway.
+    from rabbittclust_spark.sources.tables import materialize
+    cand = materialize(cand, "cand")
+    # shuffle_hash hints on BOTH sides: never sort-merge or broadcast rows
+    # carrying the (large) sig arrays — SMJ would sort ~8KB payload rows and
+    # AQE must not broadcast the array-carrying intermediate of the first
+    # join (observed: that choice stalls the plan); SHJ streams the wide
+    # side and builds on the per-partition slice of the sketch table.
+    s = sketches.select("doc_id", "n", "sig").hint("shuffle_hash")
+    joined = (
+        cand.hint("shuffle_hash")
+        .join(s.withColumnRenamed("doc_id", "src")
+               .withColumnRenamed("n", "n1")
+               .withColumnRenamed("sig", "sig1"), "src")
+        .hint("shuffle_hash")
+        .join(s.withColumnRenamed("doc_id", "dst")
+               .withColumnRenamed("n", "n2")
+               .withColumnRenamed("sig", "sig2"), "dst")
+        .select("src", "dst", "n1", "n2",
+                F.size(F.array_intersect("sig1", "sig2")).alias("common"))
+    )
+    # barrier AFTER computing `common`: project-collapse would otherwise
+    # inline the array_intersect expression into every downstream reference
+    # (jaccard, distance, filters) — observed ~20x re-evaluation per row.
+    # Behind the barrier it is a scalar column evaluated exactly once.
+    joined = materialize(joined, "pair_counts")
+    return joined.where(
+        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
+    )
+
+
 def candidate_pairs_banded(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Banded-LSH candidate pairs: (src, dst), distinct.
 
@@ -130,6 +198,8 @@ def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
             F.size(F.array_intersect("sig1", "sig2")).alias("common"),
         )
     )
+    from rabbittclust_spark.sources.tables import materialize
+    joined = materialize(joined, "pair_counts")  # see pair_counts_probe
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )
@@ -161,6 +231,8 @@ def build_edges(sketches: DataFrame, cfg: PipelineConfig,
         if bands is None:
             raise ValueError("banded pair_mode requires a bands DataFrame")
         pairs = pair_counts_banded(sketches, bands, cfg)
+    elif cfg.pair_mode == "probe":
+        pairs = pair_counts_probe(sketches, cfg)
     else:
         pairs = pair_counts_index(sketches, cfg)
     return edges_from_pair_counts(pairs, cfg)

@@ -193,6 +193,44 @@ def edge_length_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def remove_noise(assignments: DataFrame, edges: DataFrame,
+                 alpha: int = 2) -> DataFrame:
+    """--dense noise removal (src/MST.cpp:189-211 getNoiseNode, 87-106
+    modifyForest; driver src/sub_command.cpp:2104-2149).
+
+    Per cluster: a member is noise if its within-threshold neighbor count
+    (density) <= min(alpha, Q1 - 1) of the cluster's density distribution.
+    Noise members' edges are removed and components re-run; noise docs get
+    cluster_id = -1 (the reference prints them separately).
+    """
+    sym = edges.select(F.col("src").alias("doc_id")).union(
+        edges.select(F.col("dst").alias("doc_id")))
+    density = sym.groupBy("doc_id").agg(F.count("*").alias("density"))
+    scored = (assignments.join(density, "doc_id", "left")
+              .fillna(0, subset=["density"]))
+    q1 = (scored.groupBy("cluster_id")
+          .agg(F.expr("percentile(density, 0.25)").alias("q1"),
+               F.count("*").alias("csize")))
+    flagged = (scored.join(q1, "cluster_id")
+               .withColumn("noise_cut",
+                           F.least(F.lit(alpha).cast("double"), F.col("q1") - 1))
+               .withColumn("is_noise",
+                           (F.col("csize") > 2) & (F.col("density") <= F.col("noise_cut"))))
+    noise_ids = flagged.where("is_noise").select("doc_id")
+    clean_edges = (edges
+                   .join(noise_ids.withColumnRenamed("doc_id", "src"), "src",
+                         "left_anti")
+                   .join(noise_ids.withColumnRenamed("doc_id", "dst"), "dst",
+                         "left_anti"))
+    membership = connected_components(clean_edges)
+    keep = flagged.where(~F.col("is_noise")).select("doc_id")
+    recluster = assignments_from_components(keep, membership)
+    noise = noise_ids.select("doc_id",
+                             F.lit(-1).cast("long").alias("cluster_id"),
+                             F.lit(False).alias("is_rep"))
+    return recluster.unionByName(noise)
+
+
 # ------------------------------------------------------------------ formatter
 
 def format_clusters_text(assignments_with_meta: pd.DataFrame) -> str:

@@ -1,0 +1,202 @@
+"""DedupPipeline: the persistent, resumable form of operators/dedup.py.
+
+Replaces the reference's binary state folders (sketch/MST/RepDB files,
+src/Sketch_IO.cpp, src/MST_IO.cpp, src/greedy.cpp:1545-2957) with one table
+per stage under an output root (parquet here; the identical layout maps to
+Iceberg tables on a cluster — `df.writeTo(ns.table).createOrReplace()`):
+
+    <root>/extracted      url/doc_id, text            (html -> text UDF)
+    <root>/exact_groups   doc_id, canonical_id        (exact pre-collapse)
+    <root>/sketches       doc_id, len, n, sig
+    <root>/edges          src, dst, dist
+    <root>/membership     doc_id, cluster_id
+    <root>/assignments    doc_id, cluster_id, is_rep
+    <root>/dedup_groups   doc_id, cluster_id, dup_group, rep_id, is_dup_rep
+    <root>/metrics        one row per stage run (lineage + per-partition rows)
+
+Each stage directory carries a `_manifest.json` recording the config hash,
+input manifest ids, row count, per-partition row counts (the north rule's
+per-partition lineage), and wall time.  ``run(resume=True)`` skips any stage
+whose manifest matches the current config and upstream lineage — the
+reference's --presketched/--premsted resume surface
+(src/main.cpp:616-641), generalized to every stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.operators.components import connected_components
+from rabbittclust_spark.operators.dedup import exact_dedup
+from rabbittclust_spark.operators.extract import with_extracted_text
+from rabbittclust_spark.operators.pairs import build_edges
+from rabbittclust_spark.operators.postprocess import (
+    assignments_from_components,
+    dedup_medoid_collapse,
+)
+from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash
+
+_MANIFEST = "_manifest.json"
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig, out_root: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.out_root = out_root
+        self.run_id = uuid.uuid4().hex[:12]
+        os.makedirs(out_root, exist_ok=True)
+
+    # ---------------------------------------------------------------- stages
+    def run(self, docs: DataFrame, resume: bool = True,
+            html_col: str | None = None, id_col: str = "doc_id",
+            text_col: str = "text") -> dict[str, DataFrame]:
+        """Execute all stages; returns {stage: DataFrame (parquet-backed)}."""
+        out: dict[str, DataFrame] = {}
+
+        if html_col is not None:
+            out["extracted"] = self._stage(
+                "extracted", [],
+                lambda: with_extracted_text(
+                    docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                                F.col(html_col).alias("html")),
+                    html_col="html", out_col="text"),
+                resume)
+            base = out["extracted"].select("doc_id", "text")
+        else:
+            base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                               F.col(text_col).alias("text"))
+
+        deps = ["extracted"] if html_col is not None else []
+        out["exact_groups"] = self._stage(
+            "exact_groups", deps, lambda: exact_dedup(base), resume)
+
+        def _sketches():
+            canon = base.join(
+                out["exact_groups"].where(F.col("doc_id") == F.col("canonical_id"))
+                .select("doc_id"), "doc_id") if self.cfg.exact_prededup else base
+            return sketch_minhash(canon, self.cfg)
+
+        out["sketches"] = self._stage("sketches", deps + ["exact_groups"],
+                                      _sketches, resume)
+
+        def _edges():
+            bands = None
+            if self.cfg.pair_mode == "banded":
+                canon = base.join(
+                    out["exact_groups"].where(F.col("doc_id") == F.col("canonical_id"))
+                    .select("doc_id"), "doc_id") if self.cfg.exact_prededup else base
+                bands = sketch_bands(canon, self.cfg)
+            return build_edges(out["sketches"], self.cfg, bands=bands)
+
+        out["edges"] = self._stage("edges", ["sketches"], _edges, resume)
+
+        out["membership"] = self._stage(
+            "membership", ["edges"],
+            lambda: connected_components(out["edges"]), resume)
+
+        def _assignments():
+            canon_assign = assignments_from_components(
+                out["sketches"].select("doc_id"), out["membership"])
+            return (
+                out["exact_groups"]
+                .join(canon_assign.withColumnRenamed("doc_id", "canonical_id"),
+                      "canonical_id")
+                .select("doc_id", "cluster_id",
+                        (F.col("doc_id") == F.col("cluster_id")).alias("is_rep"))
+            )
+
+        out["assignments"] = self._stage(
+            "assignments", ["membership", "exact_groups", "sketches"],
+            _assignments, resume)
+
+        if self.cfg.dedup_dist is not None:
+            out["dedup_groups"] = self._stage(
+                "dedup_groups", ["assignments", "edges", "sketches"],
+                lambda: dedup_medoid_collapse(
+                    out["assignments"], out["edges"],
+                    out["sketches"].select("doc_id", "len"),
+                    self.cfg.dedup_dist),
+                resume)
+        return out
+
+    # ------------------------------------------------------------- machinery
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.out_root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._path(stage), _MANIFEST)
+
+    def _read_manifest(self, stage: str) -> dict | None:
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _input_ids(self, deps: list[str]) -> dict[str, str]:
+        ids = {}
+        for d in deps:
+            m = self._read_manifest(d)
+            ids[d] = m["manifest_id"] if m else "missing"
+        return ids
+
+    def _stage(self, stage: str, deps: list[str], compute, resume: bool) -> DataFrame:
+        path = self._path(stage)
+        input_ids = self._input_ids(deps)
+        m = self._read_manifest(stage)
+        if (resume and m is not None
+                and m.get("config_hash") == self.cfg.config_hash()
+                and m.get("inputs") == input_ids):
+            return self.spark.read.parquet(path)
+
+        t0 = time.time()
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        wall = time.time() - t0
+        result = self.spark.read.parquet(path)
+        # per-partition lineage: row count per output partition
+        part_rows = [
+            [int(r["pid"]), int(r["rows"])]
+            for r in result.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows")).collect()
+        ]
+        manifest = {
+            "manifest_id": uuid.uuid4().hex[:12],
+            "stage": stage,
+            "run_id": self.run_id,
+            "config_hash": self.cfg.config_hash(),
+            "config": self.cfg.to_dict(),
+            "inputs": input_ids,
+            "rows": int(sum(r for _, r in part_rows)),
+            "partitions": len(part_rows),
+            "partition_rows": part_rows,
+            "wall_sec": round(wall, 3),
+            "created_unix": time.time(),
+        }
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(manifest, f)
+        self._append_metrics(manifest)
+        return result
+
+    def _append_metrics(self, manifest: dict) -> None:
+        row = {k: manifest[k] for k in
+               ("manifest_id", "stage", "run_id", "config_hash", "rows",
+                "partitions", "wall_sec", "created_unix")}
+        row["partition_rows_json"] = json.dumps(manifest["partition_rows"])
+        df = self.spark.createDataFrame(
+            [row],
+            "manifest_id string, stage string, run_id string, "
+            "config_hash string, rows long, partitions int, wall_sec double, "
+            "created_unix double, partition_rows_json string")
+        df.write.mode("append").parquet(os.path.join(self.out_root, "metrics"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.out_root, "metrics"))

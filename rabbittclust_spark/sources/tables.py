@@ -35,3 +35,19 @@ def write_stage(df: DataFrame, out_root: str, stage: str,
 
 def read_stage(spark: SparkSession, out_root: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_root, stage))
+
+
+def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
+    """Materialize a DataFrame once via a temp-parquet round-trip.
+
+    Preferred over localCheckpoint/cache for composed plans: the write runs
+    as a normal AQE job (observed: localCheckpoint executes the plan with
+    AQE finalization disabled, degrading skew-handled joins), and downstream
+    consumers re-read columnar parquet with full pushdown.  This is the
+    in-memory twin of the pipeline's persistent stage tables.
+    """
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix=f"rtc_{name}_"), "data")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -1,0 +1,142 @@
+"""Incremental append + query over persisted dedup state.
+
+Reference semantics being reproduced (src/mst_state.h:13-30):
+  new doc vs existing clusters ->
+    - within d of exactly one cluster: assign to it
+    - within d of several clusters: MERGE them all (transitive bridging)
+    - within d of none: new cluster
+plus batch-internal edges (new docs can cluster with each other).
+
+Spark form: compute sketches for the new batch; build edges between
+(new x all) and (new x new) documents; union with the existing assignment
+edges (doc -> cluster representative, the persisted clustering as a graph);
+re-run connected components.  Merge-on-multi-match falls out of CC
+transitivity — no special casing (SURVEY.md §2.10).
+
+Also provides the RepDB query surface (src/greedy.cpp:2536-2638 top-k;
+src/sub_command.cpp:337-450 assign): top-k nearest representatives per query
+document via a ranking window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.functions.distances import (
+    common_lower_bound_expr,
+    jaccard_expr,
+    mash_distance_expr,
+    size_ratio_pred,
+)
+from rabbittclust_spark.operators.components import connected_components
+from rabbittclust_spark.operators.pairs import edges_from_pair_counts
+from rabbittclust_spark.operators.sketch import sketch_minhash
+
+
+def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
+                    cfg: PipelineConfig) -> DataFrame:
+    """Pair intersection counts where the src side is restricted to new docs
+    (the reference's start_index lower bound, src/MST.cpp:391-400)."""
+    b = int(cfg.probe_hashes)
+    probe_new = new_sk.select("doc_id", "n", F.explode(F.slice("sig", 1, b)).alias("h"))
+    probe_all = all_sk.select("doc_id", "n", F.explode(F.slice("sig", 1, b)).alias("h"))
+    cand = (
+        probe_new.alias("a").join(probe_all.alias("b"), F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .where(size_ratio_pred(F.col("a.n"), F.col("b.n"), cfg.max_size_ratio()))
+        .select(F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("src"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"))
+        .distinct()
+    )
+    s = all_sk.select("doc_id", "n", "sig").hint("shuffle_hash")
+    joined = (
+        cand.join(s.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n", "n1")
+                   .withColumnRenamed("sig", "sig1"), "src")
+        .join(s.withColumnRenamed("doc_id", "dst")
+               .withColumnRenamed("n", "n2")
+               .withColumnRenamed("sig", "sig2"), "dst")
+        .select("src", "dst", "n1", "n2",
+                F.size(F.array_intersect("sig1", "sig2")).alias("common"))
+    )
+    # barrier after computing `common` — prevents project-collapse from
+    # inlining array_intersect into every downstream distance/filter
+    # reference (see operators/pairs.pair_counts_probe)
+    from rabbittclust_spark.sources.tables import materialize
+    joined = materialize(joined, "append_pair_counts")
+    return joined.where(
+        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"),
+                                                   cfg.jaccard_min()))
+
+
+def append_batch(old_sketches: DataFrame, old_assignments: DataFrame,
+                 new_docs: DataFrame, cfg: PipelineConfig,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> dict[str, DataFrame]:
+    """Returns {"sketches": updated, "assignments": merged, "edges": new}.
+
+    Cluster ids remain the component-min doc id, so re-clustering is stable:
+    untouched clusters keep their ids (their min member is unchanged).
+    """
+    new_sk = sketch_minhash(new_docs, cfg, id_col=id_col, text_col=text_col)
+    from rabbittclust_spark.sources.tables import materialize
+    new_sk = materialize(new_sk, "append_sketches")
+    all_sk = old_sketches.unionByName(new_sk)
+
+    pairs = _pair_counts_vs(new_sk, all_sk, cfg)
+    new_edges = edges_from_pair_counts(pairs, cfg)
+
+    # persisted clustering as a graph: member -> cluster id
+    old_edges = old_assignments.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst"),
+        F.lit(0.0).alias("dist"))
+    membership = connected_components(new_edges.unionByName(old_edges))
+    all_ids = all_sk.select("doc_id")
+    from rabbittclust_spark.operators.postprocess import assignments_from_components
+    assignments = assignments_from_components(all_ids, membership)
+    return {"sketches": all_sk, "assignments": assignments, "edges": new_edges}
+
+
+def query_topk(rep_sketches: DataFrame, query_docs: DataFrame,
+               cfg: PipelineConfig, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """RepDB --query: top-k nearest representatives per query document
+    (src/greedy.cpp:2536-2638).  Returns (query_id, rep_id, dist, rank)."""
+    q_sk = sketch_minhash(query_docs, cfg, id_col=id_col, text_col=text_col) \
+        .withColumnRenamed("doc_id", "query_id") \
+        .withColumnRenamed("n", "nq") \
+        .withColumnRenamed("sig", "sigq").drop("len")
+    r = rep_sketches.select(F.col("doc_id").alias("rep_id"),
+                            F.col("n").alias("nr"), F.col("sig").alias("sigr"))
+    # query batches are small vs the rep table: broadcast queries, keep reps
+    # partitioned (no shuffle of the big side)
+    joined = r.join(F.broadcast(q_sk), F.col("rep_id") != F.col("query_id"))
+    counted = joined.select(
+        "query_id", "rep_id", "nq", "nr",
+        F.size(F.array_intersect("sigq", "sigr")).alias("common"))
+    from rabbittclust_spark.sources.tables import materialize
+    counted = materialize(counted, "query_counts")  # anti-inlining barrier
+    j = jaccard_expr(F.col("common"), F.col("nq"), F.col("nr"))
+    dist = mash_distance_expr(j, cfg.distance_k)
+    scored = counted.select("query_id", "rep_id", dist.alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("rep_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def assign_or_novel(rep_sketches: DataFrame, query_docs: DataFrame,
+                    cfg: PipelineConfig, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """RepDB --assign: best rep within threshold else 'novel'
+    (src/sub_command.cpp:337-450).  Returns (query_id, rep_id nullable,
+    dist nullable, is_novel)."""
+    top1 = query_topk(rep_sketches, query_docs, cfg, k=1,
+                      id_col=id_col, text_col=text_col)
+    q = query_docs.select(F.col(id_col).cast("long").alias("query_id"))
+    hit = top1.where(F.col("dist") <= cfg.threshold) \
+        .select("query_id", "rep_id", "dist")
+    return (q.join(hit, "query_id", "left")
+            .withColumn("is_novel", F.col("rep_id").isNull()))

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: schemas, Arrow batching, stubbed decode kernels."""
+
+import numpy as np
+import pytest
+
+from rabbittclust_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    resize_metadata,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes 1", (640, 480, None, None)),
+        (2, "image", b"\x89PNG fake bytes 2", (1920, 1080, None, None)),
+        (3, "audio", b"RIFF fake wav", (None, None, 16000, 5000)),
+        (4, "video", b"\x00\x00ftyp fake mp4", (1280, 720, None, 60000)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>")
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    m = _media(spark)
+    f1 = {r.doc_id: r.feature for r in extract_features(m).collect()}
+    f2 = {r.doc_id: r.feature for r in extract_features(m).collect()}
+    assert set(f1) == {1, 2, 3, 4}
+    for d in f1:
+        assert len(f1[d]) == FEATURE_DIM
+        assert np.allclose(f1[d], f2[d])
+    assert not np.allclose(f1[1], f1[2])  # different payloads differ
+
+
+def test_strict_mode_raises(spark):
+    m = _media(spark)
+    with pytest.raises(Exception):  # stubbed codecs raise inside the UDF
+        extract_features(m, strict=True).collect()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+
+
+def test_resize_metadata(spark):
+    m = _media(spark)
+    t = {r.doc_id: (r.target.width, r.target.height)
+         for r in resize_metadata(m, max_side=512).collect()}
+    assert t[1] == (512, 384)      # 640x480 -> 512x384
+    assert t[3] == (None, None)    # audio has no dims
+    assert t[2] == (512, 288)      # 1920x1080 -> 512x288

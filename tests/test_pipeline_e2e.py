@@ -45,6 +45,17 @@ def test_index_mode_parity(spark, corpus, oracle_assign):
     assert got == oracle_assign
 
 
+def test_probe_mode_parity(spark, corpus, oracle_assign):
+    """Scale path #2 (bottom-B probe join + exact verify): miss probability
+    (1-J)^64 ~ 2e-7 at the threshold boundary -> clusters match the oracle."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, pair_mode="probe")
+    got = _spark_assign(spark, corpus, cfg)
+    recall, precision = dup_pair_recall(oracle_assign, got)
+    assert recall == 1.0 and precision == 1.0, (recall, precision)
+    assert got == oracle_assign
+
+
 def test_banded_mode_recall(spark, corpus, oracle_assign):
     """Scale path (banded LSH) must reach dup-pair recall >= 0.99."""
     import dataclasses

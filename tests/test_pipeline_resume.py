@@ -1,0 +1,82 @@
+"""DedupPipeline: stage tables, per-partition lineage, checkpoint/resume
+(SURVEY.md §5 item 5: restart -> identical final assignments)."""
+
+import json
+import os
+
+import pytest
+
+from rabbittclust_spark.config import PipelineConfig
+from rabbittclust_spark.fixtures.webtext import WebtextParams, generate_pandas
+from rabbittclust_spark.plans.pipeline import DedupPipeline
+
+P = WebtextParams(num_clusters=6, members_per_cluster=5, num_singletons=10,
+                  num_short=3, hot_cluster_size=5)
+CFG = PipelineConfig(min_len=100)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pandas(P)
+
+
+def _collect(df):
+    return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+
+def test_pipeline_runs_and_resumes(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    p1 = DedupPipeline(spark, CFG, root)
+    out1 = p1.run(docs)
+    a1 = _collect(out1["assignments"])
+    assert len(a1) > 0
+
+    # manifests exist with lineage
+    m = json.load(open(os.path.join(root, "edges", "_manifest.json")))
+    assert m["config_hash"] == CFG.config_hash()
+    assert m["rows"] == sum(r for _, r in m["partition_rows"])
+    assert "sketches" in m["inputs"]
+
+    # resume: delete a late stage, rerun -> early stages reused (manifest ids
+    # unchanged), final assignments identical
+    import shutil
+    sk_id = json.load(open(os.path.join(root, "sketches", "_manifest.json")))["manifest_id"]
+    shutil.rmtree(os.path.join(root, "membership"))
+    shutil.rmtree(os.path.join(root, "assignments"))
+    p2 = DedupPipeline(spark, CFG, root)
+    out2 = p2.run(docs)
+    assert _collect(out2["assignments"]) == a1
+    sk_id2 = json.load(open(os.path.join(root, "sketches", "_manifest.json")))["manifest_id"]
+    assert sk_id2 == sk_id  # sketches stage was NOT recomputed
+
+
+def test_config_change_invalidates(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe2"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    DedupPipeline(spark, CFG, root).run(docs)
+    e_id = json.load(open(os.path.join(root, "edges", "_manifest.json")))["manifest_id"]
+    import dataclasses
+    cfg2 = dataclasses.replace(CFG, threshold=0.03)
+    DedupPipeline(spark, cfg2, root).run(docs)
+    e_id2 = json.load(open(os.path.join(root, "edges", "_manifest.json")))["manifest_id"]
+    assert e_id2 != e_id  # recomputed under the new config
+
+
+def test_html_entry_point(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe3"))
+    docs = spark.createDataFrame(corpus[["doc_id", "html"]])
+    out = DedupPipeline(spark, CFG, root).run(docs, html_col="html")
+    assert out["extracted"].count() == len(corpus)
+    assert out["assignments"].count() > 0
+
+
+def test_metrics_table(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe4"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    p = DedupPipeline(spark, CFG, root)
+    p.run(docs)
+    m = p.metrics()
+    stages = {r.stage for r in m.collect()}
+    assert {"exact_groups", "sketches", "edges", "membership",
+            "assignments"} <= stages
