@@ -332,6 +332,44 @@ def _q_repdb_topk(spark, sf_dir):
         .select("query_id", "rep_id", F.round("dist", 6).alias("dist"), "rank")
 
 
+def _q_dbscan(spark, sf_dir):
+    """DBSCAN over the eps-neighborhood graph (src/dbscan.cpp:725-1101)."""
+    from rabbittclust_spark.operators.dbscan import dbscan
+
+    docs = _docs(spark, sf_dir)
+    out = minhash_dedup(docs, _CFG)
+    return dbscan(out["sketches"].select("doc_id"), out["edges"],
+                  eps=_CFG.threshold, min_pts=3)
+
+
+def _q_noise_removal(spark, sf_dir):
+    """--dense noise removal (src/MST.cpp:189-211): low-density members get
+    cluster_id = -1, remainder re-clustered."""
+    from rabbittclust_spark.operators.postprocess import remove_noise
+
+    out = minhash_dedup(_docs(spark, sf_dir), _CFG)
+    return remove_noise(out["assignments"], out["edges"])
+
+
+def _q_distinct_token_counts(spark, sf_dir):
+    """Per-doc distinct-token cardinality — exact (HLL's exact twin;
+    the reference's HyperLogLog alternative sketch, src/SketchInfo.cpp:130-141)."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    return d.select("doc_id",
+                    F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"))
+
+
+def _q_hll_cardinality(spark, sf_dir):
+    """approx_count_distinct (HLL) of tokens per doc — rows-only (sketch
+    internals differ across engines)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.approx_count_distinct("tok").alias("n_approx"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing (stub codecs, real Spark machinery)."""
     from pyspark.sql import functions as F
@@ -364,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
         "multimodal_features": _q_multimodal_features,
+        "dbscan": _q_dbscan,
+        "noise_removal": _q_noise_removal,
+        "distinct_token_counts": _q_distinct_token_counts,
+        "hll_cardinality": _q_hll_cardinality,
         # posting-list join + distances (§2.4-2.5, §2.9)
         "token_pair_mash": _q_token_pair_mash,
         "ani_histogram": _q_ani_histogram,
@@ -583,6 +625,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct(
                        regexp_extract_all(text, '{TOKEN_RE}'))), ' ')) AS fp
+            FROM documents
+        """,
+        "distinct_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+                     AS n_distinct
             FROM documents
         """,
         "ann_cosine_topk": f"""
