@@ -371,7 +371,12 @@ def _q_hll_cardinality(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing (stub codecs, real Spark machinery)."""
+    """Multimodal binary-column plumbing (stub codecs, real Spark machinery).
+
+    The feature array is posexploded to (doc_id, kind, pos, value) scalar rows
+    so the driver's canonicalizer (pandas sort/factorize) gets hashable cells;
+    the array-producing operator itself is unchanged.
+    """
     from pyspark.sql import functions as F
 
     from rabbittclust_spark.operators.multimodal import extract_features
@@ -382,7 +387,12 @@ def _q_multimodal_features(spark, sf_dir):
         F.struct(F.lit(640).alias("width"), F.lit(480).alias("height"),
                  F.lit(None).cast("int").alias("sample_rate"),
                  F.lit(None).cast("int").alias("duration_ms")).alias("meta"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "kind",
+        F.posexplode("feature").alias("pos", "value"),
+    ).select("doc_id", "kind", F.col("pos").cast("long").alias("pos"),
+             F.round(F.col("value").cast("double"), 6).alias("value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

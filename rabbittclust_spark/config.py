@@ -76,6 +76,10 @@ class PipelineConfig:
                 f"pair_mode must be 'index', 'probe', or 'banded', got {self.pair_mode!r}")
         if self.perm_count % self.rows_per_band != 0:
             raise ValueError("perm_count must be divisible by rows_per_band")
+        if self.simhash_hamming_max < 1:
+            # num_blocks = hamming_max + 1 must be >= 2 so the pigeonhole
+            # block keys fit int64 (functions/simhash.simhash_blocks)
+            raise ValueError("simhash_hamming_max must be >= 1")
         maxd = self.max_resolvable_distance()
         if self.threshold > maxd:
             # reference rejects -d beyond sketch resolution (src/sub_command.cpp:2346-2366)

@@ -44,8 +44,12 @@ def simhash_blocks(sig: int, num_blocks: int) -> list[int]:
 
     Key = (block_index << 56) | block_bits so blocks never collide across
     positions.  num_blocks = hamming_max + 1 guarantees recall 1.0 for pairs
-    within hamming_max (pigeonhole).
+    within hamming_max (pigeonhole).  Requires 2 <= num_blocks <= 64: at
+    num_blocks >= 2 every block is <= 33 bits wide, so the tag at bit 56
+    never overlaps and the key fits a signed int64.
     """
+    if not 2 <= num_blocks <= 64:
+        raise ValueError(f"num_blocks must be in [2, 64], got {num_blocks}")
     width = 64 // num_blocks
     extra = 64 % num_blocks
     keys = []
@@ -60,3 +64,29 @@ def simhash_blocks(sig: int, num_blocks: int) -> list[int]:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_block_exprs(col, num_blocks: int):
+    """Pure-column-expression twin of :func:`simhash_blocks` — an
+    ``array<long>`` of ``(i << 56) | block_i`` shift/mask expressions, fully
+    JVM-side (no Python round-trip per row).
+
+    ``shiftrightunsigned`` gives the logical shift, so a signed int64 column
+    behaves exactly like the Python path's ``sig & 0xFFFF...`` unsigned view.
+    Parity with simhash_blocks is asserted in tests/test_simhash.py.
+    """
+    from pyspark.sql import functions as F
+
+    if not 2 <= num_blocks <= 64:
+        raise ValueError(f"num_blocks must be in [2, 64], got {num_blocks}")
+    width = 64 // num_blocks
+    extra = 64 % num_blocks
+    exprs = []
+    pos = 0
+    for i in range(num_blocks):
+        w = width + (1 if i < extra else 0)
+        mask = (1 << w) - 1
+        block = F.shiftrightunsigned(col, pos).bitwiseAND(F.lit(mask))
+        exprs.append(F.lit(i << 56).bitwiseOR(block))
+        pos += w
+    return F.array(*exprs)

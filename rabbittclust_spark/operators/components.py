@@ -129,13 +129,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     if prev_fp[0] <= driver_cutoff:
         return _driver_union_find(e)
     e = e.localCheckpoint(eager=True)  # big path: pay materialization once
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _edge_fingerprint(e2)
         e = e2
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # emitting the last iterate as membership would be silently wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star iterations (edge-set fingerprint still "
+            "changing); raise max_iter or inspect the graph")
     # converged: e is a star graph (node -> component min). Emit members+roots.
     members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()

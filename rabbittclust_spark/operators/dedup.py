@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rabbittclust_spark.config import PipelineConfig
-from rabbittclust_spark.functions.simhash import simhash_blocks
+from rabbittclust_spark.functions.simhash import simhash_block_exprs
 from rabbittclust_spark.operators.components import connected_components
 from rabbittclust_spark.operators.pairs import build_edges
 from rabbittclust_spark.operators.postprocess import assignments_from_components
@@ -122,12 +122,11 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
     sh = _mat(sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col),
               "simhash")
 
-    block_udf = F.udf(lambda s: simhash_blocks(s & 0xFFFFFFFFFFFFFFFF, num_blocks),
-                      "array<long>")
-    # block computation is a tiny per-row op on the (small) fingerprint table;
-    # acceptable python — the pairwise hot path below is JVM-only.
-    keyed = sh.select("doc_id", "simhash",
-                      F.explode(block_udf(F.col("simhash"))).alias("bk"))
+    # block keys as pure shift/mask column expressions — zero Python after
+    # the sketch UDF (parity with functions.simhash.simhash_blocks is tested)
+    keyed = sh.select(
+        "doc_id", "simhash",
+        F.explode(simhash_block_exprs(F.col("simhash"), num_blocks)).alias("bk"))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, F.col("a.bk") == F.col("b.bk"))
@@ -200,15 +199,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .agg(F.count("*").alias("common"))
     )
+    j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "src")
                         .withColumnRenamed("n_grams", "na"), "src")
         .join(sizes.withColumnRenamed("doc_id", "dst")
                    .withColumnRenamed("n_grams", "nb"), "dst")
-        .withColumn("jaccard",
-                    F.round(F.col("common") /
-                            (F.col("na") + F.col("nb") - F.col("common")), 6))
-        .where(F.col("jaccard") >= min_jaccard)
+        # filter on the UNROUNDED jaccard (matches the DuckDB oracle, which
+        # also filters unrounded); round only for output
+        .where(j >= min_jaccard)
+        .withColumn("jaccard", F.round(j, 6))
         .select("src", "dst", "common", "jaccard")
     )
     return out

@@ -61,6 +61,21 @@ class DedupPipeline:
         """Execute all stages; returns {stage: DataFrame (parquet-backed)}."""
         out: dict[str, DataFrame] = {}
 
+        # fingerprint the INPUT data (row count + content hash sum) so
+        # resume=True never returns stale stage outputs after the source
+        # dataset changed — root-stage manifests would otherwise match on
+        # config hash alone.
+        content_col = html_col if html_col is not None else text_col
+        fp_row = docs.agg(
+            F.count("*").alias("c"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col(id_col).cast("string"),
+                                 F.col(content_col).cast("string"))
+                      .cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        input_fp = {"__docs__": f"{int(fp_row['c'])}:{int(fp_row['s'])}"}
+
         if html_col is not None:
             out["extracted"] = self._stage(
                 "extracted", [],
@@ -68,7 +83,7 @@ class DedupPipeline:
                     docs.select(F.col(id_col).cast("long").alias("doc_id"),
                                 F.col(html_col).alias("html")),
                     html_col="html", out_col="text"),
-                resume)
+                resume, extra_inputs=input_fp)
             base = out["extracted"].select("doc_id", "text")
         else:
             base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
@@ -76,7 +91,8 @@ class DedupPipeline:
 
         deps = ["extracted"] if html_col is not None else []
         out["exact_groups"] = self._stage(
-            "exact_groups", deps, lambda: exact_dedup(base), resume)
+            "exact_groups", deps, lambda: exact_dedup(base), resume,
+            extra_inputs=input_fp)
 
         def _sketches():
             canon = base.join(
@@ -85,7 +101,7 @@ class DedupPipeline:
             return sketch_minhash(canon, self.cfg)
 
         out["sketches"] = self._stage("sketches", deps + ["exact_groups"],
-                                      _sketches, resume)
+                                      _sketches, resume, extra_inputs=input_fp)
 
         def _edges():
             bands = None
@@ -96,7 +112,8 @@ class DedupPipeline:
                 bands = sketch_bands(canon, self.cfg)
             return build_edges(out["sketches"], self.cfg, bands=bands)
 
-        out["edges"] = self._stage("edges", ["sketches"], _edges, resume)
+        out["edges"] = self._stage("edges", ["sketches"], _edges, resume,
+                                   extra_inputs=input_fp)
 
         out["membership"] = self._stage(
             "membership", ["edges"],
@@ -148,9 +165,12 @@ class DedupPipeline:
             ids[d] = m["manifest_id"] if m else "missing"
         return ids
 
-    def _stage(self, stage: str, deps: list[str], compute, resume: bool) -> DataFrame:
+    def _stage(self, stage: str, deps: list[str], compute, resume: bool,
+               extra_inputs: dict[str, str] | None = None) -> DataFrame:
         path = self._path(stage)
         input_ids = self._input_ids(deps)
+        if extra_inputs:
+            input_ids = {**input_ids, **extra_inputs}
         m = self._read_manifest(stage)
         if (resume and m is not None
                 and m.get("config_hash") == self.cfg.config_hash()

@@ -37,6 +37,17 @@ def read_stage(spark: SparkSession, out_root: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_root, stage))
 
 
+_MATERIALIZE_DIRS: list[str] = []
+
+
+def _cleanup_materialized() -> None:
+    import shutil
+
+    for d in _MATERIALIZE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _MATERIALIZE_DIRS.clear()
+
+
 def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
     """Materialize a DataFrame once via a temp-parquet round-trip.
 
@@ -45,9 +56,17 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
     AQE finalization disabled, degrading skew-handled joins), and downstream
     consumers re-read columnar parquet with full pushdown.  This is the
     in-memory twin of the pipeline's persistent stage tables.
+
+    Temp dirs are tracked and removed at interpreter exit so long-lived
+    drivers don't leak /tmp disk across repeated pair-generation calls.
     """
+    import atexit
     import tempfile
 
-    path = os.path.join(tempfile.mkdtemp(prefix=f"rtc_{name}_"), "data")
+    d = tempfile.mkdtemp(prefix=f"rtc_{name}_")
+    if not _MATERIALIZE_DIRS:
+        atexit.register(_cleanup_materialized)
+    _MATERIALIZE_DIRS.append(d)
+    path = os.path.join(d, "data")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

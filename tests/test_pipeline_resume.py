@@ -80,3 +80,21 @@ def test_metrics_table(spark, corpus, tmp_path_factory):
     stages = {r.stage for r in m.collect()}
     assert {"exact_groups", "sketches", "edges", "membership",
             "assignments"} <= stages
+
+
+def test_input_change_invalidates_resume(spark, corpus, tmp_path_factory):
+    """Changed source data must not return stale stage outputs (root stages
+    carry an input-data fingerprint in their manifests)."""
+    root = str(tmp_path_factory.mktemp("pipe3"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    DedupPipeline(spark, CFG, root).run(docs)
+    sk_id = json.load(open(os.path.join(root, "sketches", "_manifest.json")))["manifest_id"]
+
+    # mutate one document's text: same ids, same row count
+    c2 = corpus.copy()
+    c2.loc[c2.index[0], "text"] = c2.loc[c2.index[0], "text"] + " MUTATED TAIL"
+    docs2 = spark.createDataFrame(c2[["doc_id", "text"]])
+    out2 = DedupPipeline(spark, CFG, root).run(docs2, resume=True)
+    sk_id2 = json.load(open(os.path.join(root, "sketches", "_manifest.json")))["manifest_id"]
+    assert sk_id2 != sk_id  # sketches WERE recomputed for the new input
+    assert out2["assignments"].count() > 0

@@ -48,3 +48,30 @@ def test_blocks_cover_all_bits():
     widths = [16, 16, 16, 16]
     for i, blk in enumerate(blocks):
         assert blk == (i << 56) | ((1 << widths[i]) - 1)
+
+
+def test_block_exprs_match_python(spark):
+    """JVM shift/mask block keys == functions.simhash.simhash_blocks."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.functions.simhash import simhash_block_exprs
+
+    rng = _random.Random(11)
+    vals = [rng.getrandbits(64) for _ in range(200)] + [0, (1 << 64) - 1]
+    # store as signed int64 (Spark long) — unsigned view must still match
+    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+    df = spark.createDataFrame([(v,) for v in signed], "simhash long")
+    for nb in (2, 4, 8):
+        got = {r["simhash"]: r["blocks"] for r in df.select(
+            "simhash",
+            simhash_block_exprs(F.col("simhash"), nb).alias("blocks")).collect()}
+        for u, s in zip(vals, signed):
+            assert got[s] == simhash_blocks(u, nb), (u, nb)
+
+
+def test_blocks_rejects_single_block():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        simhash_blocks(123, 1)
