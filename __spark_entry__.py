@@ -49,9 +49,18 @@ NGRAM_N = 3
 NGRAM_MIN_JACCARD = 0.05
 TOKEN_MASH_K = 3       # Mash k for the token-set distance oracle
 TOKEN_MIN_COMMON = 5
+TOKEN_D = 0.05         # token-edge graph threshold (reference default -d 0.05)
+TOKEN_DEDUP_D = 0.02   # --dedup-dist analog on the token graph
+DBSCAN_MIN_PTS = 3
+REPDB_K = 3
+REPDB_QUERY_MOD = 25   # queries: doc_id % 25 == 0; reps: the complement
 ANN_K = 5
 ANN_QUERY_MOD = 50
 NEARDUP_TAU = 0.4
+EMB_DIM = 64           # embeddings.embedding is array<float>[64]
+LSH_PLANES = 4         # sparse-SRP bits per table
+LSH_TABLES = 8
+LSH_SEED = 7
 
 _CFG = PipelineConfig(min_len=20)  # driver docs are short (48..553 chars)
 
@@ -155,6 +164,30 @@ def _token_pairs(spark, sf_dir):
     )
 
 
+def _token_edges(spark, sf_dir):
+    """Thresholded edge graph over token-set Mash distances — the
+    oracle-checkable twin of the sketch pipelines' ``edges`` stage.  Distances
+    are 6dp-rounded BEFORE the threshold filter so Spark and DuckDB apply the
+    identical cut."""
+    from rabbittclust_spark.functions.distances import jaccard_expr, mash_distance_expr
+    p = _token_pairs(spark, sf_dir)
+    d = mash_distance_expr(jaccard_expr(F.col("common"), F.col("n1"), F.col("n2")),
+                           TOKEN_MASH_K)
+    return (p.select("src", "dst", F.round(d, 6).alias("dist"))
+            .where(F.col("dist") <= TOKEN_D))
+
+
+def _token_assignments(spark, sf_dir, edges=None):
+    """Connected components of the token-edge graph + singleton attach —
+    gates the large-star/small-star CC operator against a DuckDB
+    recursive-CTE transitive closure."""
+    from rabbittclust_spark.operators.components import connected_components
+    from rabbittclust_spark.operators.postprocess import assignments_from_components
+    e = edges if edges is not None else _token_edges(spark, sf_dir)
+    return assignments_from_components(_docs(spark, sf_dir),
+                                       connected_components(e))
+
+
 def _q_token_pair_mash(spark, sf_dir):
     from rabbittclust_spark.functions.distances import jaccard_expr, mash_distance_expr
     p = _token_pairs(spark, sf_dir)
@@ -248,8 +281,22 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """Exact all-pairs near-dup — the recall baseline for the LSH twin."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, tau=NEARDUP_TAU)
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE path: sparse-SRP bucketed candidates + cosine verify —
+    O(within-bucket pairs), never O(N^2).  The bucketing is deterministic
+    and SQL-expressible, so the DuckDB oracle reproduces the identical LSH
+    plan (recall vs brute force is measured separately in tests/test_ann.py)."""
+    from rabbittclust_spark.operators.ann import embedding_neardup_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(e, tau=NEARDUP_TAU, dim=EMB_DIM,
+                                 num_planes=LSH_PLANES, num_tables=LSH_TABLES,
+                                 seed=LSH_SEED)
 
 
 # --- rows-only (non-SQL-expressible: custom sketches + iterative CC) --------
@@ -270,9 +317,29 @@ def _q_simhash_dedup(spark, sf_dir):
     return simhash_dedup(_docs(spark, sf_dir), _CFG)
 
 
-def _q_minhash_cluster_stats(spark, sf_dir):
-    a = minhash_dedup(_docs(spark, sf_dir), _CFG)["assignments"]
-    return cluster_stats(a)
+def _q_token_clusters(spark, sf_dir):
+    """Connected components over the token-edge graph (the CC operator's
+    direct DuckDB-oracle gate; src/MST.cpp:109-142 BFS semantics)."""
+    return _token_assignments(spark, sf_dir)
+
+
+def _q_token_cluster_stats(spark, sf_dir):
+    """Cluster cardinality stats (src/leiden.cpp:455-460 analog) over the
+    oracle-checked token clustering."""
+    return cluster_stats(_token_assignments(spark, sf_dir))
+
+
+def _q_token_containment(spark, sf_dir):
+    """Containment/AAF distance (src/MST.cpp:529-540) over token pairs —
+    the SQL-expressible twin of the FracMinHash containment path."""
+    from rabbittclust_spark.functions.distances import containment_distance_expr
+    p = _token_pairs(spark, sf_dir)
+    c = F.col("common") / F.least("n1", "n2")
+    d = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
+                                  TOKEN_MASH_K)
+    return p.select("src", "dst", "common",
+                    F.round(c, 6).alias("containment"),
+                    F.round(d, 6).alias("aaf_d"))
 
 
 def _q_fracminhash_containment(spark, sf_dir):
@@ -290,65 +357,79 @@ def _q_fracminhash_containment(spark, sf_dir):
 
 
 def _q_dedup_medoid(spark, sf_dir):
-    """--dedup-dist medoid collapse (src/cluster_postprocess.cpp:60-157)."""
+    """--dedup-dist medoid collapse (src/cluster_postprocess.cpp:60-157,
+    tie-breaks :122-129) over the oracle-checked token-edge graph."""
     from rabbittclust_spark.operators.postprocess import dedup_medoid_collapse
 
-    out = minhash_dedup(_docs(spark, sf_dir), _CFG)
-    return dedup_medoid_collapse(
-        out["assignments"], out["edges"],
-        out["sketches"].select("doc_id", "len"),
-        dedup_dist=_CFG.threshold / 2)
+    edges = _token_edges(spark, sf_dir)
+    assignments = _token_assignments(spark, sf_dir, edges)
+    doc_lens = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("len"))
+    return dedup_medoid_collapse(assignments, edges, doc_lens,
+                                 dedup_dist=TOKEN_DEDUP_D)
 
 
 def _q_incremental_append(spark, sf_dir):
-    """--append semantics (src/mst_state.h:13-30): first half of documents is
-    the persisted state, second half is the appended batch."""
-    from pyspark.sql import functions as F
-
-    from rabbittclust_spark.streaming.incremental import append_batch
+    """--append semantics (src/mst_state.h:13-30): the first half of the
+    corpus is the persisted clustering state, the second half the appended
+    batch.  The merge (assign / merge-on-multi-match / create-new) must equal
+    a full batch re-run — the DuckDB oracle IS the batch CC over all edges,
+    so this row verifies incremental == batch."""
+    from rabbittclust_spark.operators.components import connected_components
+    from rabbittclust_spark.operators.postprocess import assignments_from_components
+    from rabbittclust_spark.streaming.incremental import merge_increment
 
     docs = _docs(spark, sf_dir)
     half = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0]["m"]
-    old = docs.where(F.col("doc_id") <= half)
-    new = docs.where(F.col("doc_id") > half)
-    state = minhash_dedup(old, _CFG)
-    out = append_batch(state["sketches"],
-                       state["assignments"].select("doc_id", "cluster_id"),
-                       new, _CFG)
-    return out["assignments"].orderBy("doc_id")
+    edges = _token_edges(spark, sf_dir)
+    old_edges = edges.where((F.col("src") <= half) & (F.col("dst") <= half))
+    old_docs = docs.where(F.col("doc_id") <= half)
+    state = assignments_from_components(old_docs, connected_components(old_edges))
+    new_edges = edges.where((F.col("src") > half) | (F.col("dst") > half))
+    return merge_increment(state.select("doc_id", "cluster_id"), new_edges, docs)
 
 
 def _q_repdb_topk(spark, sf_dir):
-    """RepDB --query top-k (src/greedy.cpp:2536-2638)."""
-    from pyspark.sql import functions as F
+    """RepDB --query top-k via an inverted-index probe join
+    (src/greedy.cpp:2536-2638) over token postings — cost is
+    O(shared-key candidates), never queries x reps."""
+    from rabbittclust_spark.streaming.incremental import query_topk_postings
 
-    from rabbittclust_spark.operators.sketch import sketch_minhash
-    from rabbittclust_spark.streaming.incremental import query_topk
-
-    docs = _docs(spark, sf_dir)
-    reps = sketch_minhash(docs.where(F.col("doc_id") % 5 != 0), _CFG)
-    queries_df = docs.where(F.col("doc_id") % 25 == 0)
-    return query_topk(reps, queries_df, _CFG, k=3) \
-        .select("query_id", "rep_id", F.round("dist", 6).alias("dist"), "rank")
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))).alias("tok"))
+    reps = toks.where(F.col("doc_id") % REPDB_QUERY_MOD != 0)
+    qs = toks.where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
+    out = query_topk_postings(reps, qs, distance_k=TOKEN_MASH_K, k=REPDB_K,
+                              key_cols=("source", "tok"))
+    return out.select("query_id", "rep_id", "common", "n1", "n2", "dist",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def _q_dbscan(spark, sf_dir):
-    """DBSCAN over the eps-neighborhood graph (src/dbscan.cpp:725-1101)."""
+    """DBSCAN over the eps-neighborhood graph (src/dbscan.cpp:725-1101):
+    core = degree+1 >= minPts, clusters = CC of core-core subgraph,
+    deterministic border assignment, noise = -1 — all over the
+    oracle-checked token-edge graph."""
     from rabbittclust_spark.operators.dbscan import dbscan
 
-    docs = _docs(spark, sf_dir)
-    out = minhash_dedup(docs, _CFG)
-    return dbscan(out["sketches"].select("doc_id"), out["edges"],
-                  eps=_CFG.threshold, min_pts=3)
+    edges = _token_edges(spark, sf_dir)
+    return dbscan(_docs(spark, sf_dir), edges, eps=TOKEN_D,
+                  min_pts=DBSCAN_MIN_PTS)
 
 
 def _q_noise_removal(spark, sf_dir):
     """--dense noise removal (src/MST.cpp:189-211): low-density members get
-    cluster_id = -1, remainder re-clustered."""
+    cluster_id = -1, remainder re-clustered — over the oracle-checked
+    token-edge graph."""
     from rabbittclust_spark.operators.postprocess import remove_noise
 
-    out = minhash_dedup(_docs(spark, sf_dir), _CFG)
-    return remove_noise(out["assignments"], out["edges"])
+    edges = _token_edges(spark, sf_dir)
+    assignments = _token_assignments(spark, sf_dir, edges)
+    return remove_noise(assignments, edges)
 
 
 def _q_distinct_token_counts(spark, sf_dir):
@@ -406,8 +487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_dedup_banded": _q_minhash_dedup_banded,
         "simhash_dedup": _q_simhash_dedup,
-        "minhash_cluster_stats": _q_minhash_cluster_stats,
         "fracminhash_containment": _q_fracminhash_containment,
+        # graph / clustering / postprocess over the token-edge graph
+        # (oracle-checked end to end, incl. connected components)
+        "token_clusters": _q_token_clusters,
+        "token_cluster_stats": _q_token_cluster_stats,
+        "token_containment": _q_token_containment,
         "dedup_medoid": _q_dedup_medoid,
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
@@ -436,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     }
 
 
@@ -497,6 +583,77 @@ dists AS (
          END AS mash_d
   FROM scored
 )
+"""
+
+
+def _sql_embedding_neardup_lsh() -> str:
+    """DuckDB twin of operators/ann.embedding_neardup_lsh: the SAME sparse-SRP
+    bucketing (bit = v[i] > v[j] for seed-derived index pairs), candidate
+    join, and cosine verify — oracle-checks the LSH plan itself."""
+    from rabbittclust_spark.operators.ann import sparse_srp_index_pairs
+
+    tables = sparse_srp_index_pairs(EMB_DIM, LSH_PLANES, LSH_TABLES, LSH_SEED)
+    key_selects = []
+    for t, planes in enumerate(tables):
+        bits = " + ".join(
+            f"(CASE WHEN v[{i + 1}] > v[{j + 1}] THEN {1 << p} ELSE 0 END)"
+            for p, (i, j) in enumerate(planes))
+        key_selects.append(
+            f"SELECT vec_id, CAST({t << 32} AS BIGINT) + ({bits}) AS bucket FROM c")
+    keys_union = "\n              UNION ALL ".join(key_selects)
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        lkeys AS ({keys_union}),
+        lcand AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM lkeys a JOIN lkeys b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT d.src, d.dst, round(list_cosine_similarity(ca.v, cb.v), 6) AS cos
+        FROM lcand d
+        JOIN c ca ON d.src = ca.vec_id
+        JOIN c cb ON d.dst = cb.vec_id
+        WHERE list_cosine_similarity(ca.v, cb.v) >= {NEARDUP_TAU}
+    """
+
+
+# Token-edge graph CTE: 6dp-rounded Mash distances, threshold cut at TOKEN_D
+# (mirrors _token_edges exactly — both engines round before filtering).
+_TOKEN_EDGES_CTE = f"""{_TOKEN_PAIRS_CTE},
+tokedges AS (
+  SELECT src, dst, round(mash_d, 6) AS dist FROM dists
+  WHERE round(mash_d, 6) <= {TOKEN_D}
+)"""
+
+
+def _sql_cc(edge_cte: str, out: str) -> str:
+    """Connected components of (src, dst) edge CTE via a recursive transitive
+    closure; ``{out}`` = (doc_id, cluster_id = component-min doc id) for every
+    node with at least one edge.  The DuckDB twin of
+    operators/components.connected_components."""
+    return f"""
+{out}_sym AS (SELECT src AS u, dst AS v FROM {edge_cte}
+              UNION SELECT dst, src FROM {edge_cte}),
+{out}_reach AS (
+  SELECT u, v FROM {out}_sym
+  UNION
+  SELECT r.u, s.v FROM {out}_reach r JOIN {out}_sym s ON r.v = s.u
+  WHERE s.v != r.u
+),
+{out} AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+          FROM {out}_reach GROUP BY u)"""
+
+
+_SQL_TOKEN_ASSIGN = f"""{_TOKEN_EDGES_CTE},
+{_sql_cc('tokedges', 'comp')},
+assign AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)"""
+
+_SQL_TOKEN_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_TOKEN_ASSIGN}
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep FROM assign
 """
 
 
@@ -669,7 +826,167 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_TAU}
         """,
+        "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
+        # ---- graph / clustering / postprocess over the token-edge graph ----
+        "token_clusters": _SQL_TOKEN_CLUSTERS,
+        "token_cluster_stats": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            csizes AS (SELECT cluster_id, count(*) AS size FROM assign GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS num_clusters,
+                   CAST(max(size) AS BIGINT) AS max_size,
+                   round(avg(size), 6) AS avg_size,
+                   CAST(count(CASE WHEN size = 1 THEN 1 END) AS BIGINT) AS num_singletons
+            FROM csizes
+        """,
+        "token_containment": f"""
+            WITH {_TOKEN_PAIRS_CTE}
+            SELECT src, dst, common,
+                   round(common / CAST(least(n1, n2) AS DOUBLE), 6) AS containment,
+                   round(CASE WHEN least(n1, n2) <= 0 THEN 1.0
+                              WHEN common <= 0 THEN 1.0
+                              WHEN common / CAST(least(n1, n2) AS DOUBLE) >= 1.0 THEN 0.0
+                              ELSE least(1.0, -ln(common / CAST(least(n1, n2) AS DOUBLE))
+                                              / {TOKEN_MASH_K}.0)
+                         END, 6) AS aaf_d
+            FROM dists
+        """,
+        "dedup_medoid": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            tight AS (SELECT src, dst, dist FROM tokedges WHERE dist <= {TOKEN_DEDUP_D}),
+            {_sql_cc('tight', 'dupcomp')},
+            dgroups AS (
+              SELECT a.doc_id, a.cluster_id,
+                     coalesce(g.cluster_id, a.doc_id) AS dup_group
+              FROM assign a LEFT JOIN dupcomp g ON a.doc_id = g.doc_id
+            ),
+            symdist AS (SELECT src AS doc_id, dist FROM tight
+                        UNION ALL SELECT dst, dist FROM tight),
+            dscores AS (SELECT doc_id, sum(dist) AS tot FROM symdist GROUP BY 1),
+            dscored AS (
+              SELECT dg.doc_id, dg.cluster_id, dg.dup_group,
+                     coalesce(s.tot, 0.0) AS tot, length(d.text) AS len
+              FROM dgroups dg
+              LEFT JOIN dscores s ON dg.doc_id = s.doc_id
+              JOIN documents d ON dg.doc_id = d.doc_id
+            ),
+            dranked AS (
+              SELECT *, row_number() OVER (PARTITION BY dup_group
+                        ORDER BY round(tot, 6) ASC, len DESC, doc_id ASC) AS rk
+              FROM dscored
+            ),
+            dreps AS (SELECT dup_group, doc_id AS rep_id FROM dranked WHERE rk = 1)
+            SELECT r.doc_id, r.cluster_id, r.dup_group, p.rep_id,
+                   (r.doc_id = p.rep_id) AS is_dup_rep
+            FROM dranked r JOIN dreps p ON r.dup_group = p.dup_group
+        """,
+        "incremental_append": _SQL_TOKEN_CLUSTERS,  # incremental MUST == batch
+        "dbscan": f"""
+            WITH RECURSIVE {_TOKEN_EDGES_CTE},
+            dsym AS (SELECT src AS u, dst AS v FROM tokedges
+                     UNION ALL SELECT dst, src FROM tokedges),
+            deg AS (SELECT u AS doc_id, count(*) AS deg FROM dsym GROUP BY 1),
+            core AS (SELECT doc_id FROM deg WHERE deg + 1 >= {DBSCAN_MIN_PTS}),
+            ce AS (SELECT e.src, e.dst FROM tokedges e
+                   JOIN core c1 ON e.src = c1.doc_id
+                   JOIN core c2 ON e.dst = c2.doc_id),
+            {_sql_cc('ce', 'ccomp')},
+            core_assign AS (
+              SELECT c.doc_id, coalesce(m.cluster_id, c.doc_id) AS cluster_id
+              FROM core c LEFT JOIN ccomp m ON c.doc_id = m.doc_id
+            ),
+            border AS (
+              SELECT s.u AS doc_id, min(ca.cluster_id) AS cluster_id
+              FROM dsym s JOIN core_assign ca ON s.v = ca.doc_id
+              WHERE s.u NOT IN (SELECT doc_id FROM core)
+              GROUP BY 1
+            ),
+            assigned AS (
+              SELECT doc_id, cluster_id, 'core' AS role FROM core_assign
+              UNION ALL
+              SELECT doc_id, cluster_id, 'border' FROM border
+            )
+            SELECT d.doc_id,
+                   coalesce(a.cluster_id, -1) AS cluster_id,
+                   coalesce(a.role, 'noise') AS role
+            FROM documents d LEFT JOIN assigned a ON d.doc_id = a.doc_id
+        """,
+        "noise_removal": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            nsym AS (SELECT src AS doc_id FROM tokedges
+                     UNION ALL SELECT dst FROM tokedges),
+            dens AS (SELECT doc_id, count(*) AS density FROM nsym GROUP BY 1),
+            nscored AS (
+              SELECT a.doc_id, a.cluster_id, coalesce(d.density, 0) AS density
+              FROM assign a LEFT JOIN dens d ON a.doc_id = d.doc_id
+            ),
+            q1s AS (SELECT cluster_id, quantile_cont(density, 0.25) AS q1,
+                           count(*) AS csize
+                    FROM nscored GROUP BY 1),
+            flagged AS (
+              SELECT s.doc_id, s.cluster_id,
+                     (q.csize > 2 AND s.density <= least(2.0, q.q1 - 1)) AS is_noise
+              FROM nscored s JOIN q1s q ON s.cluster_id = q.cluster_id
+            ),
+            noise AS (SELECT doc_id FROM flagged WHERE is_noise),
+            clean AS (SELECT src, dst FROM tokedges
+                      WHERE src NOT IN (SELECT doc_id FROM noise)
+                        AND dst NOT IN (SELECT doc_id FROM noise)),
+            {_sql_cc('clean', 'comp2')},
+            keep AS (SELECT doc_id FROM flagged WHERE NOT is_noise),
+            recluster AS (
+              SELECT k.doc_id, coalesce(c.cluster_id, k.doc_id) AS cluster_id
+              FROM keep k LEFT JOIN comp2 c ON k.doc_id = c.doc_id
+            )
+            SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep FROM recluster
+            UNION ALL
+            SELECT doc_id, CAST(-1 AS BIGINT) AS cluster_id, false AS is_rep FROM noise
+        """,
+        "repdb_topk": f"""
+            WITH rtoks AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+              FROM documents
+            ),
+            q AS (SELECT doc_id AS query_id, source, tok FROM rtoks
+                  WHERE doc_id % {REPDB_QUERY_MOD} = 0),
+            r AS (SELECT doc_id AS rep_id, source, tok FROM rtoks
+                  WHERE doc_id % {REPDB_QUERY_MOD} != 0),
+            nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n1 FROM q GROUP BY 1),
+            nr AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n2 FROM r GROUP BY 1),
+            rpairs AS (
+              SELECT q.query_id, r.rep_id, CAST(count(*) AS BIGINT) AS common
+              FROM q JOIN r ON q.tok = r.tok AND q.source = r.source
+               AND q.query_id != r.rep_id
+              GROUP BY 1, 2
+            ),
+            rscored AS (
+              SELECT p.query_id, p.rep_id, p.common, nq.n1, nr.n2,
+                     p.common / CAST(nq.n1 + nr.n2 - p.common AS DOUBLE) AS j
+              FROM rpairs p
+              JOIN nq ON p.query_id = nq.query_id
+              JOIN nr ON p.rep_id = nr.rep_id
+            ),
+            rdists AS (
+              SELECT query_id, rep_id, common, n1, n2,
+                     round(CASE WHEN j >= 1.0 THEN 0.0
+                                WHEN j <= 0.0 THEN 1.0
+                                ELSE least(1.0, -ln(2.0 * j / (1.0 + j)) / {TOKEN_MASH_K}.0)
+                           END, 6) AS dist
+              FROM rscored
+            ),
+            rranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist ASC, rep_id ASC) AS rank
+              FROM rdists
+            )
+            SELECT query_id, rep_id, common, n1, n2, dist,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rranked WHERE rank <= {REPDB_K}
+        """,
         # minhash_dedup / minhash_dedup_banded / simhash_dedup /
-        # minhash_cluster_stats: custom-hash sketches + iterative CC are not
-        # SQL-expressible; covered by the numpy parity oracle in tests/.
+        # fracminhash_containment / hll_cardinality / multimodal_features:
+        # custom-hash sketches and stub codecs are not SQL-expressible;
+        # covered by the numpy parity oracles in tests/ instead.  Their
+        # graph/postprocess consumers ARE oracle-checked above via the
+        # token-edge twins.
     }

@@ -42,7 +42,7 @@ def main() -> None:
     from rabbittclust_spark.operators.sketch import sketch_minhash
     sketch_minhash(docs.limit(64), PipelineConfig(min_len=20)).count()
     headline = [
-        "minhash_dedup",          # flagship (index mode, reference parity)
+        "minhash_dedup",          # flagship (probe mode — the scale default)
         "minhash_dedup_banded",   # scale path
         "exact_dedup",
         "simhash_dedup",

@@ -36,14 +36,24 @@ class PipelineConfig:
     min_len: int = 100            # webtext default (genomes used 10_000)
 
     # --- candidate generation ---
-    pair_mode: str = "index"      # "index" (reference-parity inverted index,
-                                  #  src/MST.cpp:399-575) | "probe" (bottom-B
-                                  #  probe join + exact verify, scale default)
+    pair_mode: str = "probe"      # "probe" (bottom-B probe join + exact
+                                  #  verify — the scale DEFAULT; assignments
+                                  #  parity-tested identical to index mode)
+                                  #  | "index" (reference-parity inverted
+                                  #  index, src/MST.cpp:399-575)
                                   #  | "banded" (k-perm LSH bands)
     probe_hashes: int = 64        # B for probe mode; pair miss prob (1-J)^B
-    max_posting: int | None = None  # cap posting-list length; hashes hotter than
-                                    # this are dropped (ref --max-posting,
+    max_posting: int | None = None  # cap posting-list length (ref --max-posting,
                                     # src/dbscan.cpp:95-220). None = unlimited.
+    hot_hash_mode: str = "star"   # what happens to postings above max_posting:
+                                  # "star" = escalate via anchor-star candidate
+                                  # pairs (min-doc anchor linked to every other
+                                  # posting, O(p) extra candidates, exact
+                                  # verify downstream — recovers CC recall for
+                                  # hot near-dup groups) | "drop" = reference
+                                  # behavior (silently skip the hash).  Either
+                                  # way the dropped/escalated hash and doc
+                                  # counts are logged (no silent caps).
     # banded mode parameters (k-permutation positional signature)
     perm_count: int = 128
     rows_per_band: int = 2
@@ -76,6 +86,9 @@ class PipelineConfig:
                 f"pair_mode must be 'index', 'probe', or 'banded', got {self.pair_mode!r}")
         if self.perm_count % self.rows_per_band != 0:
             raise ValueError("perm_count must be divisible by rows_per_band")
+        if self.hot_hash_mode not in ("star", "drop"):
+            raise ValueError(
+                f"hot_hash_mode must be 'star' or 'drop', got {self.hot_hash_mode!r}")
         if self.simhash_hamming_max < 1:
             # num_blocks = hamming_max + 1 must be >= 2 so the pigeonhole
             # block keys fit int64 (functions/simhash.simhash_blocks)

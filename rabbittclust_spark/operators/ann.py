@@ -90,6 +90,74 @@ def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95,
     return out
 
 
+def sparse_srp_index_pairs(dim: int, num_planes: int, num_tables: int,
+                           seed: int = 7) -> list[list[tuple[int, int]]]:
+    """Deterministic sparse random-hyperplane spec: for each (table, plane)
+    a coordinate pair (i, j) — the hyperplane is e_i - e_j, so the hash bit
+    is sign(v[i] - v[j]).  A genuine SRP-LSH family whose keys are pure
+    comparisons, computable as column expressions AND as plain SQL (the
+    DuckDB oracle reproduces the bucketing bit-for-bit)."""
+    rng = np.random.default_rng(seed)
+    tables = []
+    for _ in range(num_tables):
+        planes = []
+        for _ in range(num_planes):
+            i = int(rng.integers(0, dim))
+            j = int(rng.integers(0, dim - 1))
+            if j >= i:
+                j += 1
+            planes.append((i, j))
+        tables.append(planes)
+    return tables
+
+
+def sparse_srp_bucket_keys(vectors: DataFrame, dim: int, num_planes: int = 4,
+                           num_tables: int = 8, seed: int = 7) -> DataFrame:
+    """(vec_id, bucket) keys for the sparse SRP family — num_tables rows per
+    vector, entirely JVM-side column expressions (no UDF).  Bucket =
+    (table_index << 32) | bit-packed sign pattern."""
+    tables = sparse_srp_index_pairs(dim, num_planes, num_tables, seed)
+    keys = []
+    for t, planes in enumerate(tables):
+        key = F.lit(t << 32).cast("long")
+        for p, (i, j) in enumerate(planes):
+            bit = (F.element_at("vec", i + 1) > F.element_at("vec", j + 1)) \
+                .cast("long")
+            key = key + F.shiftleft(bit, p)
+        keys.append(key)
+    return vectors.select("vec_id", F.explode(F.array(*keys)).alias("bucket"))
+
+
+def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
+                          num_planes: int = 4, num_tables: int = 8,
+                          seed: int = 7, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          round_dp: int | None = 6) -> DataFrame:
+    """Near-dup pairs via sparse-SRP bucketed candidates + cosine verify:
+    (src, dst, cos) with cos >= tau, src < dst.  The scale path: only
+    within-bucket pairs are scored (O(candidates), never O(N^2)); recall is
+    the standard LSH trade-off (>= 0.99 for high-similarity pairs at these
+    defaults, measured in tests/test_ann.py)."""
+    e = _prep(embeddings, id_col, vec_col)
+    keyed = sparse_srp_bucket_keys(e, dim, num_planes=num_planes,
+                                   num_tables=num_tables, seed=seed)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("src"),
+                    F.col("b.vec_id").alias("dst"))
+            .distinct()
+            .join(e.select(F.col("vec_id").alias("src"),
+                           F.col("vec").alias("va")), "src")
+            .join(e.select(F.col("vec_id").alias("dst"),
+                           F.col("vec").alias("vb")), "dst"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    out = cand.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out
+
+
 def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,
                     num_tables: int = 4, seed: int = 7) -> DataFrame:
     """Sign-random-projection bucket keys: (vec_id, bucket) — num_tables rows

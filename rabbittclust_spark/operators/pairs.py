@@ -9,9 +9,10 @@ src/SketchInfo.h:59-161).  groupBy(src,dst).count() IS the per-pair
 intersection count (src/MST.cpp:428-487).  Pruning predicates are applied in
 reference order: size-ratio before the aggregate consumer
 (src/MST.cpp:504-512), common-count lower bound as HAVING
-(src/greedy.cpp:649-653).  Hot-hash skew is defused exactly like the
-reference's --max-posting (src/dbscan.cpp:95-220): hashes whose posting list
-exceeds the cap are dropped from pair generation.
+(src/greedy.cpp:649-653).  Hot-hash skew is handled by the --max-posting
+analog (src/dbscan.cpp:95-220) with logged counts; in probe/banded modes hot
+keys can additionally be ESCALATED via anchor-star candidates instead of
+dropped (cfg.hot_hash_mode, see _apply_posting_cap) — no silent recall loss.
 
 **banded** (scale path): join on LSH band keys from the k-permutation
 signature — O(candidate pairs) instead of O(sum posting^2) — then verify each
@@ -23,6 +24,8 @@ Both modes end in the same Mash/containment distance column expressions and a
 """
 
 from __future__ import annotations
+
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,6 +39,62 @@ from rabbittclust_spark.functions.distances import (
     size_ratio_pred,
 )
 
+_LOG = logging.getLogger(__name__)
+
+
+def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
+                       label: str) -> tuple[DataFrame, DataFrame | None]:
+    """--max-posting analog with accounting and optional escalation.
+
+    Splits posting rows into cold (below-cap) and hot (above-cap) keys.  The
+    reference silently drops hot hashes from its index
+    (src/dbscan.cpp:95-220); here the dropped/escalated key and posting
+    counts are always LOGGED, and with ``cfg.hot_hash_mode == "star"`` hot
+    keys are escalated instead of lost: every posting of a hot key is paired
+    with the key's minimum doc_id (anchor) — O(p) extra candidates per hot
+    key instead of the O(p^2) explosion — and those candidates flow through
+    the same exact array_intersect verification as everything else.  For hot
+    groups of true near-duplicates the anchor links verify and connected
+    components recovers the full group (no recall loss; tested with a
+    hot-key fixture), versus drop mode's silent loss of pairs that only
+    share capped hashes.
+
+    Returns (cold_postings, star_candidates(src, dst) | None).
+    """
+    if cfg.max_posting is None:
+        return postings, None
+    from rabbittclust_spark.sources.tables import materialize
+
+    counts = postings.groupBy(key).agg(F.count("*").alias("_pl"))
+    # the hot set is tiny (keys hotter than the cap) — materialize once and
+    # broadcast it so the cap is two small anti-/semi-joins, not a shuffle
+    hot = materialize(counts.where(F.col("_pl") > cfg.max_posting),
+                      f"hot_{label}")
+    row = hot.agg(F.count("*").alias("k"),
+                  F.coalesce(F.sum("_pl"), F.lit(0)).alias("p")).collect()[0]
+    n_hot, n_post = int(row["k"]), int(row["p"])
+    cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
+    if n_hot == 0:
+        return cold, None
+    star_mode = cfg.hot_hash_mode == "star"
+    _LOG.warning(
+        "max_posting=%d [%s]: %d hot keys covering %d postings %s",
+        cfg.max_posting, label, n_hot, n_post,
+        "escalated via anchor-star candidates" if star_mode
+        else "DROPPED (reference --max-posting behavior)")
+    if not star_mode:
+        return cold, None
+    hot_postings = postings.join(F.broadcast(hot.select(key)), key)
+    anchors = hot_postings.groupBy(key).agg(F.min("doc_id").alias("_anchor"))
+    star = (
+        hot_postings.join(F.broadcast(anchors), key)
+        .where(F.col("doc_id") != F.col("_anchor"))
+        .select(F.least("doc_id", "_anchor").alias("src"),
+                F.greatest("doc_id", "_anchor").alias("dst"))
+        .distinct()
+    )
+    return cold, star
+
 
 def explode_postings(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """sketches(doc_id, n, sig) -> postings(h, doc_id, n).
@@ -46,15 +105,11 @@ def explode_postings(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     postings = sketches.select(
         F.explode("sig").alias("h"), F.col("doc_id"), F.col("n")
     )
-    if cfg.max_posting is not None:
-        # --max-posting analog: drop hashes hotter than the cap
-        # (src/dbscan.cpp:95-220).  Computed with a shuffle-local count join;
-        # AQE handles residual skew.
-        counts = postings.groupBy("h").agg(F.count("*").alias("_pl"))
-        postings = (
-            postings.join(counts.filter(F.col("_pl") <= cfg.max_posting), "h")
-            .drop("_pl")
-        )
+    # --max-posting analog (src/dbscan.cpp:95-220) with logged counts.
+    # Index mode aggregates shared-hash COUNTS, so star escalation (which
+    # yields candidates, not counts) cannot apply here — hot hashes are
+    # dropped exactly like the reference; probe/banded modes escalate.
+    postings, _ = _apply_posting_cap(postings, "h", cfg, "index")
     return postings
 
 
@@ -108,10 +163,7 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col("doc_id"), F.col("n"),
         F.explode(F.slice("sig", 1, b)).alias("h"),
     )
-    if cfg.max_posting is not None:
-        counts = probes.groupBy("h").agg(F.count("*").alias("_pl"))
-        probes = (probes.join(counts.filter(F.col("_pl") <= cfg.max_posting), "h")
-                  .drop("_pl"))
+    probes, star = _apply_posting_cap(probes, "h", cfg, "probe")
     pa, pb = probes.alias("a"), probes.alias("b")
     cand = (
         pa.join(pb, F.col("a.h") == F.col("b.h"))
@@ -120,6 +172,11 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
+    if star is not None:
+        # escalated hot-hash candidates verify exactly like the others; the
+        # size-ratio pred is skipped for them, which is safe — ratio-violating
+        # pairs mathematically cannot pass the common-count/threshold filters
+        cand = cand.union(star).distinct()
     # materialize the candidate set: splits the query at its natural barrier.
     # Observed on Spark 4.1: fusing candidate-gen + verify into one plan
     # executes the verify join orders of magnitude slower than running the
@@ -162,20 +219,18 @@ def candidate_pairs_banded(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     analog applied to band keys.
     """
     exploded = bands.select(F.col("doc_id"), F.explode("band_keys").alias("bk"))
-    if cfg.max_posting is not None:
-        counts = exploded.groupBy("bk").agg(F.count("*").alias("_bl"))
-        exploded = (
-            exploded.join(counts.filter(F.col("_bl") <= cfg.max_posting), "bk")
-            .drop("_bl")
-        )
+    exploded, star = _apply_posting_cap(exploded, "bk", cfg, "banded")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    cand = (
         a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
+    if star is not None:
+        cand = cand.union(star).distinct()
+    return cand
 
 
 def pair_counts_banded(sketches: DataFrame, bands: DataFrame,

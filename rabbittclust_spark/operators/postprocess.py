@@ -91,8 +91,11 @@ def dedup_medoid_collapse(assignments: DataFrame, edges: DataFrame,
         .join(doc_lens.select(F.col("doc_id"), F.col("len")), "doc_id", "left")
         .withColumn("len", F.coalesce(F.col("len"), F.lit(0)))
     )
+    # rank on the 6dp-rounded score: float sums are order-dependent at the
+    # 1e-15 level across partitions/engines, and the tie-break (len, doc_id)
+    # must engage on true ties rather than summation noise
     w = Window.partitionBy("dup_group").orderBy(
-        F.col("tot_dist").asc(), F.col("len").desc(), F.col("doc_id").asc()
+        F.round(F.col("tot_dist"), 6).asc(), F.col("len").desc(), F.col("doc_id").asc()
     )
     ranked = scored.withColumn("_rk", F.row_number().over(w))
     reps = ranked.where(F.col("_rk") == 1).select(

@@ -99,32 +99,92 @@ def append_batch(old_sketches: DataFrame, old_assignments: DataFrame,
     return {"sketches": all_sk, "assignments": assignments, "edges": new_edges}
 
 
-def query_topk(rep_sketches: DataFrame, query_docs: DataFrame,
-               cfg: PipelineConfig, k: int = 5, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """RepDB --query: top-k nearest representatives per query document
-    (src/greedy.cpp:2536-2638).  Returns (query_id, rep_id, dist, rank)."""
-    q_sk = sketch_minhash(query_docs, cfg, id_col=id_col, text_col=text_col) \
-        .withColumnRenamed("doc_id", "query_id") \
-        .withColumnRenamed("n", "nq") \
-        .withColumnRenamed("sig", "sigq").drop("len")
-    r = rep_sketches.select(F.col("doc_id").alias("rep_id"),
-                            F.col("n").alias("nr"), F.col("sig").alias("sigr"))
-    # query batches are small vs the rep table: broadcast queries, keep reps
-    # partitioned (no shuffle of the big side)
-    joined = r.join(F.broadcast(q_sk), F.col("rep_id") != F.col("query_id"))
-    counted = joined.select(
-        "query_id", "rep_id", "nq", "nr",
-        F.size(F.array_intersect("sigq", "sigr")).alias("common"))
-    from rabbittclust_spark.sources.tables import materialize
-    counted = materialize(counted, "query_counts")  # anti-inlining barrier
-    j = jaccard_expr(F.col("common"), F.col("nq"), F.col("nr"))
-    dist = mash_distance_expr(j, cfg.distance_k)
-    scored = counted.select("query_id", "rep_id", dist.alias("dist"))
+def merge_increment(old_assignments: DataFrame, new_edges: DataFrame,
+                    all_docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sketch-agnostic incremental merge (src/mst_state.h:13-30 semantics):
+    persisted assignments become doc->cluster edges, new edges are unioned,
+    and connected components re-run.  Assign-to-one / merge-on-multi-match /
+    create-new all fall out of CC transitivity; cluster ids stay the
+    component-min doc id, so the result is IDENTICAL to a full batch re-run
+    over the union of old and new edges (oracle-checked in the driver's
+    ``incremental_append`` query).  Returns (doc_id, cluster_id, is_rep)
+    for every doc in ``all_docs``."""
+    from rabbittclust_spark.operators.postprocess import assignments_from_components
+
+    old_as_edges = old_assignments.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst"),
+        F.lit(0.0).alias("dist"))
+    membership = connected_components(new_edges.unionByName(old_as_edges))
+    return assignments_from_components(
+        all_docs.select(F.col(id_col).cast("long").alias("doc_id")), membership)
+
+
+def query_topk_postings(rep_postings: DataFrame, query_postings: DataFrame,
+                        distance_k: int, k: int = 5,
+                        key_cols: tuple[str, ...] = ("key",),
+                        round_dp: int | None = 6) -> DataFrame:
+    """RepDB --query over an inverted index of posting rows
+    (src/greedy.cpp:2536-2638: the reference probes the rep-only index, so
+    cost is O(shared-key candidates), never queries x reps).
+
+    ``rep_postings`` / ``query_postings``: (doc_id, *key_cols) DISTINCT
+    posting rows.  Candidates = (query, rep) pairs sharing >= 1 key; the
+    equi-join's group count IS the exact intersection.  Distance = Mash over
+    the posting-set Jaccard; top-k per query by (dist asc, rep_id asc), with
+    dist rounded to ``round_dp`` BEFORE ranking so ties break identically
+    across engines.  Reps sharing no key with a query are not returned —
+    reference semantics (an index probe cannot see them).
+
+    Returns (query_id, rep_id, common, n1, n2, dist, rank).
+    """
+    q = query_postings.select(F.col("doc_id").cast("long").alias("query_id"),
+                              *[F.col(c) for c in key_cols])
+    r = rep_postings.select(F.col("doc_id").cast("long").alias("rep_id"),
+                            *[F.col(c) for c in key_cols])
+    n_q = q.groupBy("query_id").agg(F.count("*").alias("n1"))
+    n_r = r.groupBy("rep_id").agg(F.count("*").alias("n2"))
+    pairs = (
+        q.join(r, list(key_cols))
+        .where(F.col("query_id") != F.col("rep_id"))
+        .groupBy("query_id", "rep_id").agg(F.count("*").alias("common"))
+        .join(n_q, "query_id").join(n_r, "rep_id")
+    )
+    j = jaccard_expr(F.col("common"), F.col("n1"), F.col("n2"))
+    dist = mash_distance_expr(j, distance_k)
+    if round_dp is not None:
+        dist = F.round(dist, round_dp)
+    scored = pairs.select("query_id", "rep_id", "common", "n1", "n2",
+                          dist.alias("dist"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col("rep_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def query_topk(rep_sketches: DataFrame, query_docs: DataFrame,
+               cfg: PipelineConfig, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """RepDB --query: top-k nearest representatives per query document
+    (src/greedy.cpp:2536-2638).  Returns (query_id, rep_id, dist, rank).
+
+    Exactly like the reference, the query probes the rep-only INVERTED INDEX:
+    candidates are reps sharing >= 1 sketch hash, the posting equi-join's
+    group count is the exact intersection (sketch hashes are distinct per
+    doc), and reps sharing no hash are unreachable (common=0 => dist=1 in the
+    reference too).  Cost is O(shared-hash candidates) — never queries x reps
+    (the previous broadcast nested-loop form was a scale-killer at 10^8
+    reps).  ``cfg.max_posting`` caps hot rep postings like --max-posting
+    (src/dbscan.cpp:95-220)."""
+    q_sk = sketch_minhash(query_docs, cfg, id_col=id_col, text_col=text_col)
+    q_post = q_sk.select("doc_id", F.explode("sig").alias("key"))
+    r_post = rep_sketches.select("doc_id", F.explode("sig").alias("key"))
+    if cfg.max_posting is not None:
+        counts = r_post.groupBy("key").agg(F.count("*").alias("_pl"))
+        r_post = (r_post.join(counts.filter(F.col("_pl") <= cfg.max_posting),
+                              "key").drop("_pl"))
+    out = query_topk_postings(r_post, q_post, cfg.distance_k, k=k,
+                              key_cols=("key",))
+    return out.select("query_id", "rep_id", "dist", "rank")
 
 
 def assign_or_novel(rep_sketches: DataFrame, query_docs: DataFrame,

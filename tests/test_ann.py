@@ -62,3 +62,55 @@ def test_srp_lsh_finds_planted_dup(spark):
     k2 = {(r.vec_id, r.bucket) for r in srp_bucket_keys(
         df.select("vec_id", df.embedding.alias("vec"))).collect()}
     assert k1 == k2
+
+
+def test_sparse_srp_lsh_recall_high_sim(spark):
+    """Sparse-SRP near-dup recall >= 0.99 vs brute force for genuinely
+    near-duplicate pairs (cos >= 0.9) — the regime the scale path serves."""
+    from rabbittclust_spark.operators.ann import embedding_neardup_lsh
+
+    rng = np.random.default_rng(17)
+    dim = 64
+    rows = []
+    vid = 0
+    # 40 planted near-dup pairs (tiny perturbation -> cos >= ~0.99)
+    for _ in range(40):
+        v = rng.standard_normal(dim)
+        w = v + 0.05 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    # 200 random background vectors
+    for _ in range(200):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = embedding_neardup_pairs(df, tau=0.9, round_dp=None)
+    truth = {(r.src, r.dst) for r in exact.collect()}
+    assert len(truth) >= 40
+    got = {(r.src, r.dst)
+           for r in embedding_neardup_lsh(df, tau=0.9, dim=dim,
+                                          num_planes=4, num_tables=8,
+                                          round_dp=None).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"recall {recall} ({len(got & truth)}/{len(truth)})"
+    assert got <= truth  # verify step admits no false positives
+
+
+def test_sparse_srp_plan_is_bucketed(spark):
+    """The LSH plan must not contain a cartesian/nested-loop join."""
+    import contextlib
+    import io
+
+    from rabbittclust_spark.operators.ann import embedding_neardup_lsh
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in np.random.default_rng(i).standard_normal(64)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>")
+    out = embedding_neardup_lsh(df, tau=0.9, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

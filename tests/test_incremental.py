@@ -68,3 +68,19 @@ def test_query_topk_and_assign(spark, base_state):
                 for r in assign_or_novel(reps, queries, CFG).collect()}
     assert assigned[100][1] is False and assigned[100][0] in (1, 2)
     assert assigned[101] == (None, True)
+
+
+def test_query_topk_plan_is_candidate_join(spark, base_state):
+    """The RepDB probe must be an equi-join on posting keys — never a
+    broadcast nested-loop over queries x reps (scale-killer)."""
+    import contextlib
+    import io
+
+    queries = _mk_docs(spark, [(100, base_state["a"] + "whiskey ")])
+    top = query_topk(base_state["sketches"], queries, CFG, k=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
