@@ -432,6 +432,33 @@ def _q_noise_removal(spark, sf_dir):
     return remove_noise(assignments, edges)
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
+    weight = 1-dist similarity graph + resolution knob) over the token-edge
+    graph.  Rows-only: the synchronous modularity-gain iteration is not
+    SQL-expressible; equivalence vs a single-process twin is tested in
+    tests/test_leiden.py."""
+    from rabbittclust_spark.operators.leiden import label_propagation
+
+    edges = _token_edges(spark, sf_dir)
+    comm = label_propagation(edges, resolution=1.0)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.join(comm, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("community", F.col("doc_id")).alias("community")))
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup via winnowing fingerprints (Schleimer SIGMOD'03;
+    the north rule's third signature family; containment scoring per
+    src/MST.cpp:529-540).  Rows-only: the rolling-hash fingerprint is not
+    SQL-expressible; the numpy-oracle pytest is tests/test_substring.py."""
+    from rabbittclust_spark.operators.substring import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), _CFG, window=20,
+                           min_containment=0.5)
+
+
 def _q_distinct_token_counts(spark, sf_dir):
     """Per-doc distinct-token cardinality — exact (HLL's exact twin;
     the reference's HyperLogLog alternative sketch, src/SketchInfo.cpp:130-141)."""
@@ -499,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
+        "label_propagation": _q_label_propagation,
+        "substring_dedup": _q_substring_dedup,
         "distinct_token_counts": _q_distinct_token_counts,
         "hll_cardinality": _q_hll_cardinality,
         # posting-list join + distances (§2.4-2.5, §2.9)

@@ -1,0 +1,84 @@
+"""Leiden-lite label propagation (src/leiden.cpp:295-471 surface):
+Spark == single-process twin, planted-community recovery, determinism,
+resolution knob."""
+
+import random
+
+import pytest
+
+from rabbittclust_spark.operators.leiden import (
+    label_propagation,
+    label_propagation_reference,
+)
+
+
+def _planted_graph(seed=3, cliques=3, size=8, internal_d=0.05, bridge_d=0.85):
+    """`cliques` dense groups (distance internal_d) + one weak bridge edge
+    between consecutive groups + a little random noise."""
+    rng = random.Random(seed)
+    edges = []
+    for c in range(cliques):
+        base = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                edges.append((base + i, base + j, internal_d))
+    for c in range(cliques - 1):
+        edges.append((c * size, (c + 1) * size, bridge_d))
+    for _ in range(5):
+        u = rng.randrange(cliques * size)
+        v = rng.randrange(cliques * size)
+        if u != v:
+            edges.append((min(u, v), max(u, v), 0.9))
+    return edges
+
+
+def _spark_communities(spark, edges, resolution=1.0):
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    out = label_propagation(df, resolution=resolution)
+    return {r.doc_id: r.community for r in out.collect()}
+
+
+def test_matches_reference_twin(spark):
+    edges = _planted_graph()
+    got = _spark_communities(spark, edges)
+    ref = label_propagation_reference(edges)
+    assert got == ref
+
+
+def test_matches_reference_random_graph(spark):
+    rng = random.Random(11)
+    edges = []
+    seen = set()
+    for _ in range(120):
+        u, v = rng.randrange(30), rng.randrange(30)
+        if u == v or (min(u, v), max(u, v)) in seen:
+            continue
+        seen.add((min(u, v), max(u, v)))
+        edges.append((min(u, v), max(u, v), round(rng.uniform(0.0, 1.0), 3)))
+    got = _spark_communities(spark, edges)
+    ref = label_propagation_reference(edges)
+    assert got == ref
+
+
+def test_recovers_planted_communities(spark):
+    edges = _planted_graph()
+    got = _spark_communities(spark, edges)
+    # each clique lands in one community; cliques stay distinct
+    comms = [ {got[c * 8 + i] for i in range(8)} for c in range(3) ]
+    for cset in comms:
+        assert len(cset) == 1, cset
+    assert len({next(iter(c)) for c in comms}) == 3
+
+
+def test_deterministic(spark):
+    edges = _planted_graph(seed=4)
+    assert _spark_communities(spark, edges) == _spark_communities(spark, edges)
+
+
+@pytest.mark.parametrize("res_lo,res_hi", [(0.2, 30.0)])
+def test_resolution_monotone(spark, res_lo, res_hi):
+    """Higher resolution => at least as many (usually more) communities."""
+    edges = _planted_graph()
+    lo = len(set(_spark_communities(spark, edges, resolution=res_lo).values()))
+    hi = len(set(_spark_communities(spark, edges, resolution=res_hi).values()))
+    assert hi >= lo
