@@ -102,6 +102,78 @@ def band_hashes(sig: np.ndarray, rows_per_band: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# weighted MinHash (ICWS) — the reference's Sketch::WMinHash alternative
+# sketch family (call surface: src/SketchInfo.cpp:130-141, 240-255; dispatch
+# src/MST.cpp:856-881).  Ioffe, "Improved Consistent Sampling, Weighted
+# Minhash and L1 Sketching" (ICDM 2010): for each sample p and weighted
+# element (x, w), with per-(x, p) randomness r, c ~ Gamma(2,1),
+# beta ~ U(0,1):
+#     t   = floor(ln w / r + beta)
+#     lnY = r * (t - beta)
+#     lnA = ln c - lnY - r
+# pick argmin lnA; the signature element is the pair (x, t).  Two documents'
+# sample-p elements collide with probability = weighted Jaccard
+# sum(min w)/sum(max w).  All randomness is counter-hash derived (splitmix64)
+# so signatures are deterministic across workers.
+# --------------------------------------------------------------------------
+
+
+def shingle_hash_counts(text: str, k: int, seed: int = 0,
+                        lowercase: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """(unique shingle hashes sorted, multiplicities) — the weighted set the
+    reference's WMinHash consumes (k-mer counts)."""
+    if lowercase:
+        text = text.lower()
+    from rabbittclust_spark.functions.hashing import rolling_window_hashes
+    h = rolling_window_hashes(text.encode("utf-8"), k, seed=seed)
+    return np.unique(h, return_counts=True)
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    """uint64 -> uniform double in (0, 1)."""
+    return ((x >> np.uint64(11)).astype(np.float64) + 0.5) * (2.0 ** -53)
+
+
+def icws_signature(hashes: np.ndarray, weights: np.ndarray, num_samples: int,
+                   seed: int = 0) -> np.ndarray:
+    """ICWS weighted-MinHash signature: ``num_samples`` uint64 keys, each a
+    hash of the sampled (element, t) pair.  Empty input -> all-max keys."""
+    s = int(num_samples)
+    if len(hashes) == 0:
+        return np.full(s, np.iinfo(np.uint64).max, dtype=_U64)
+    h = hashes.astype(_U64)
+    lnw = np.log(weights.astype(np.float64))
+    out = np.empty(s, dtype=_U64)
+    base = _U64((seed * 0x9E3779B9 + 0x85EBCA6B) & 0xFFFFFFFFFFFFFFFF)
+    for p in range(s):
+        kp = splitmix64(np.array([base + _U64(p)], dtype=_U64))[0]
+        u = [_u01(splitmix64(h ^ splitmix64(np.array([kp + _U64(i)],
+                                                     dtype=_U64))[0]))
+             for i in range(5)]
+        r = -(np.log(u[0]) + np.log(u[1]))       # Gamma(2,1)
+        ln_c = np.log(-(np.log(u[2]) + np.log(u[3])))
+        beta = u[4]
+        t = np.floor(lnw / r + beta)
+        ln_a = ln_c - r * (t - beta) - r
+        idx = int(np.argmin(ln_a))
+        tkey = splitmix64(np.array([_U64(int(t[idx]) & 0xFFFFFFFFFFFFFFFF)],
+                                   dtype=_U64))[0]
+        out[p] = splitmix64(np.array([h[idx] ^ tkey], dtype=_U64))[0]
+    return out
+
+
+def weighted_jaccard(h1: np.ndarray, w1: np.ndarray,
+                     h2: np.ndarray, w2: np.ndarray) -> float:
+    """Exact weighted Jaccard sum(min w)/sum(max w) of two (hashes, weights)
+    multisets (hashes sorted unique)."""
+    common, i1, i2 = np.intersect1d(h1, h2, assume_unique=True,
+                                    return_indices=True)
+    inter = np.minimum(w1[i1], w2[i2]).sum()
+    union = w1.sum() + w2.sum() - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+# --------------------------------------------------------------------------
 # set-sketch math (shared by the numpy oracle and tests; Spark computes the
 # same quantities as column expressions in functions/distances.py)
 # --------------------------------------------------------------------------

@@ -212,3 +212,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
         .select("src", "dst", "common", "jaccard")
     )
     return out
+
+
+def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
+                   min_wjaccard: float = 0.2, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Weighted-MinHash similar pairs: (src, dst, agree, wjaccard_est).
+
+    Positional posting join: explode (position, key) and equi-join — sig[p]
+    collides iff the ICWS samples agree, so the group count estimates
+    weighted Jaccard.  Same inverted-index shape as every other signature
+    family (skew handled identically)."""
+    from rabbittclust_spark.operators.sketch import sketch_wminhash
+    from rabbittclust_spark.sources.tables import materialize as _mat
+
+    sk = _mat(sketch_wminhash(docs, cfg, num_samples=num_samples,
+                              id_col=id_col, text_col=text_col), "wminhash")
+    post = sk.select("doc_id", F.posexplode("sig").alias("pos", "key"))
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) &
+               (F.col("a.key") == F.col("b.key")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("agree"))
+    )
+    est = F.col("agree") / F.lit(float(num_samples))
+    return (pairs.where(est >= min_wjaccard)
+            .select("src", "dst", "agree", F.round(est, 6).alias("wjaccard_est")))

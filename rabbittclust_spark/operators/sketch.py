@@ -149,3 +149,39 @@ def sketch_bands(df: DataFrame, cfg: PipelineConfig,
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
     return prepared.mapInPandas(compute, schema="doc_id long, band_keys array<long>")
+
+
+def sketch_wminhash(df: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Weighted MinHash (ICWS) signatures over shingle COUNTS — the
+    reference's Sketch::WMinHash alternative (src/SketchInfo.cpp:130-141,
+    240-255): (doc_id, len, n=num_samples, sig array<long> positional keys).
+
+    sig[p] values collide across documents with probability = weighted
+    Jaccard, so positional agreement / num_samples estimates it
+    (tests/test_minhash.py asserts the estimator CI vs the exact
+    functions.minhash.weighted_jaccard)."""
+    from rabbittclust_spark.functions.minhash import icws_signature, shingle_hash_counts
+
+    k, seed, lower = cfg.shingle_k, cfg.hash_seed, cfg.lowercase
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, sigs = [], []
+            for t in pdf["text"].tolist():
+                t = t if isinstance(t, str) else ""
+                h, w = shingle_hash_counts(t, k, seed=seed, lowercase=lower)
+                sigs.append(_as_long_list(icws_signature(h, w, num_samples,
+                                                         seed=seed)))
+                lens.append(len(t))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "len": lens,
+                                "n": [num_samples] * len(lens),
+                                "sig": sigs})
+
+    prepared = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+        .filter(F.length(F.col("text")) >= cfg.min_len)
+    )
+    return prepared.mapInPandas(compute, schema=_SKETCH_SCHEMA)

@@ -120,3 +120,101 @@ def test_band_hashes_shared_bands():
     b2 = band_hashes(kperm_signature(t2, 21, 128, perm_seed=348842630), 2)
     assert len(b1) == 64
     assert (b1 == b2).sum() >= 1  # near-dups share at least one band
+
+
+# ------------------------------------------------------------- weighted MinHash
+
+def test_icws_estimator_within_ci():
+    """ICWS positional agreement ~ exact weighted Jaccard (4-sigma CI)."""
+    import numpy as np
+
+    from rabbittclust_spark.functions.minhash import (
+        icws_signature,
+        weighted_jaccard,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 200
+    h_all = np.unique(rng.integers(0, 1 << 63, size=2 * n, dtype=np.uint64))
+    h1 = h_all[:n]
+    h2 = h_all[n // 2: n // 2 + n]  # 50% element overlap
+    w1 = rng.integers(1, 20, size=len(h1)).astype(np.float64)
+    w2 = rng.integers(1, 20, size=len(h2)).astype(np.float64)
+    jw = weighted_jaccard(h1, w1, h2, w2)
+    s = 256
+    s1 = icws_signature(h1, w1, s, seed=23)
+    s2 = icws_signature(h2, w2, s, seed=23)
+    est = float((s1 == s2).mean())
+    sigma = (jw * (1 - jw) / s) ** 0.5
+    assert abs(est - jw) <= 4 * sigma + 1e-9, (est, jw)
+
+
+def test_icws_identical_and_disjoint():
+    import numpy as np
+
+    from rabbittclust_spark.functions.minhash import icws_signature
+
+    rng = np.random.default_rng(2)
+    h = np.unique(rng.integers(0, 1 << 63, size=100, dtype=np.uint64))
+    w = rng.integers(1, 9, size=len(h)).astype(np.float64)
+    a = icws_signature(h, w, 64, seed=5)
+    b = icws_signature(h, w.copy(), 64, seed=5)
+    assert (a == b).all()  # deterministic
+    h2 = np.unique(rng.integers(0, 1 << 63, size=100, dtype=np.uint64) | np.uint64(1 << 63))
+    c = icws_signature(h2, w[: len(h2)], 64, seed=5)
+    assert (a == c).mean() < 0.1  # disjoint sets rarely collide
+
+
+def test_icws_weight_sensitivity():
+    """Same elements, very different weights -> agreement well below 1."""
+    import numpy as np
+
+    from rabbittclust_spark.functions.minhash import (
+        icws_signature,
+        weighted_jaccard,
+    )
+
+    rng = np.random.default_rng(3)
+    h = np.unique(rng.integers(0, 1 << 63, size=120, dtype=np.uint64))
+    w1 = np.ones(len(h))
+    w2 = np.where(np.arange(len(h)) % 2 == 0, 10.0, 1.0)
+    jw = weighted_jaccard(h, w1, h, w2)
+    assert jw < 0.65
+    s = 256
+    est = float((icws_signature(h, w1, s, seed=7) ==
+                 icws_signature(h, w2, s, seed=7)).mean())
+    sigma = (jw * (1 - jw) / s) ** 0.5
+    assert abs(est - jw) <= 4 * sigma + 1e-9, (est, jw)
+
+
+def test_sketch_wminhash_spark_matches_kernel(spark):
+    """Spark operator == single-process kernel, and wminhash_pairs finds the
+    planted weighted near-dup."""
+    import numpy as np
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.functions.minhash import (
+        icws_signature,
+        shingle_hash_counts,
+    )
+    from rabbittclust_spark.operators.dedup import wminhash_pairs
+    from rabbittclust_spark.operators.sketch import sketch_wminhash
+
+    cfg = PipelineConfig(min_len=10, shingle_k=8)
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog " * 8,
+        1: "the quick brown fox jumps over the lazy dog " * 8 + "extra tail",
+        2: "completely different content with no shared shingles here " * 6,
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    sk = {r.doc_id: r.sig for r in sketch_wminhash(docs, cfg, num_samples=64).collect()}
+    for did, t in texts.items():
+        h, w = shingle_hash_counts(t, cfg.shingle_k, seed=cfg.hash_seed)
+        expect = icws_signature(h, w, 64, seed=cfg.hash_seed)
+        assert np.array_equal(np.array(sk[did], dtype=np.int64),
+                              expect.view(np.int64)), did
+    pairs = {(r.src, r.dst): r.wjaccard_est
+             for r in wminhash_pairs(docs, cfg, num_samples=64,
+                                     min_wjaccard=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert (0, 2) not in pairs and (1, 2) not in pairs
