@@ -34,22 +34,38 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warmup: absorb JVM + Arrow python-worker startup so query timings
-    # measure operators, not session boot
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    docs.count()
+    # warmup: absorb JVM, whole-stage-codegen, Arrow python-worker spin-up
+    # (all `cpus` workers, realistic batches), one parquet materialize
+    # round-trip, and one shuffle join — so query timings measure operators,
+    # not process/session cold-start
+    from pyspark.sql import functions as F
+
     from rabbittclust_spark.config import PipelineConfig
     from rabbittclust_spark.operators.sketch import sketch_minhash
-    sketch_minhash(docs.limit(64), PipelineConfig(min_len=20)).count()
+    from rabbittclust_spark.sources.tables import materialize
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.count()
+    warm = materialize(
+        sketch_minhash(docs.limit(64 * int(cpus)).repartition(int(cpus)),
+                       PipelineConfig(min_len=20)), "warm")
+    wp = warm.select("doc_id", F.explode(F.slice("sig", 1, 8)).alias("h"))
+    (wp.alias("a").join(wp.alias("b"), "h")
+     .where(F.col("a.doc_id") < F.col("b.doc_id"))
+     .groupBy(F.col("a.doc_id"), F.col("b.doc_id")).count().count())
     headline = [
         "minhash_dedup",          # flagship (probe mode — the scale default)
-        "minhash_dedup_banded",   # scale path
+        "minhash_dedup_banded",   # banded-LSH path
         "exact_dedup",
         "simhash_dedup",
+        "substring_dedup",        # winnowing exact-substring family
         "ngram_jaccard",
         "token_pair_mash",
+        "token_clusters",         # oracle-checked CC over the token graph
+        "repdb_topk",             # inverted-index probe top-k
         "text_quality",
         "ann_cosine_topk",
+        "embedding_neardup_lsh",  # sparse-SRP bucketed near-dup
         "topk_orders",
         "events_stats",
     ]

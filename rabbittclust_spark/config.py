@@ -42,7 +42,10 @@ class PipelineConfig:
                                   #  | "index" (reference-parity inverted
                                   #  index, src/MST.cpp:399-575)
                                   #  | "banded" (k-perm LSH bands)
-    probe_hashes: int = 64        # B for probe mode; pair miss prob (1-J)^B
+    probe_hashes: int = 32        # B for probe mode; pair miss prob (1-J)^B:
+                                  # at the d=0.05 boundary (J=0.212) that is
+                                  # 4.9e-4 — inside the recall>=0.99 budget
+                                  # with 31x smaller postings than full-sig
     max_posting: int | None = None  # cap posting-list length (ref --max-posting,
                                     # src/dbscan.cpp:95-220). None = unlimited.
     hot_hash_mode: str = "star"   # what happens to postings above max_posting:

@@ -59,12 +59,12 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
                        F.col(text_col).alias("text"))
 
     if cfg.exact_prededup:
+        # exact_dedup is a UDF-free md5 groupBy, so its two consumers (the
+        # canon join here and the final assignment join) can safely re-derive
+        # it — the Spark 4.1 join pathology only bites when both branches
+        # share a mapInPandas source.  Callers whose `docs` come from an
+        # extract UDF must materialize upstream (plans/pipeline.py does).
         exact = exact_dedup(base)
-        if materialize:
-            # barrier: joining two branches that both re-derive `base`
-            # (e.g. through an extract UDF) plans pathologically; a parquet
-            # barrier makes the canon join a plain scan ⋈ scan.
-            exact = _mat(exact, "exact")
         canon_docs = (
             base.join(exact.where(F.col("doc_id") == F.col("canonical_id"))
                       .select("doc_id"), "doc_id")

@@ -43,7 +43,8 @@ _LOG = logging.getLogger(__name__)
 
 
 def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
-                       label: str) -> tuple[DataFrame, DataFrame | None]:
+                       label: str, allow_star: bool = True
+                       ) -> tuple[DataFrame, DataFrame | None]:
     """--max-posting analog with accounting and optional escalation.
 
     Splits posting rows into cold (below-cap) and hot (above-cap) keys.  The
@@ -76,7 +77,7 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
     if n_hot == 0:
         return cold, None
-    star_mode = cfg.hot_hash_mode == "star"
+    star_mode = allow_star and cfg.hot_hash_mode == "star"
     _LOG.warning(
         "max_posting=%d [%s]: %d hot keys covering %d postings %s",
         cfg.max_posting, label, n_hot, n_post,
@@ -109,7 +110,8 @@ def explode_postings(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # Index mode aggregates shared-hash COUNTS, so star escalation (which
     # yields candidates, not counts) cannot apply here — hot hashes are
     # dropped exactly like the reference; probe/banded modes escalate.
-    postings, _ = _apply_posting_cap(postings, "h", cfg, "index")
+    postings, _ = _apply_posting_cap(postings, "h", cfg, "index",
+                                     allow_star=False)
     return postings
 
 
@@ -148,13 +150,14 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Candidates = pairs sharing >= 1 of each doc's bottom-``probe_hashes``
     sketch values (the sketch array is sorted ascending, so a slice is the
     bottom-B subset).  For a pair with true sketch Jaccard J the miss
-    probability is ~(1-J)^B — at B=64 and the d=0.05 boundary (J=0.212)
-    that is 2e-7, far inside the recall>=0.99 budget.  Verification computes
-    the EXACT intersection count via JVM array_intersect (the reference's
-    sorted-array merge intersection, src/greedy.cpp:39-67), so distances are
-    identical to index mode; only candidate discovery is probabilistic.
+    probability is ~(1-J)^B — at B=32 and the d=0.05 boundary (J=0.212)
+    that is 4.9e-4, inside the recall>=0.99 budget (real dup pairs sit well
+    above the boundary: J=0.4 -> 8.6e-8).  Verification computes the EXACT
+    intersection count via JVM array_intersect (the reference's sorted-array
+    merge intersection, src/greedy.cpp:39-67), so distances are identical to
+    index mode; only candidate discovery is probabilistic.
 
-    Scale rationale: posting rows shrink s/B-fold (16x at defaults), and the
+    Scale rationale: posting rows shrink s/B-fold (31x at defaults), and the
     heavy work moves from the skewed posting join to the per-pair verify
     join, which parallelizes by pair with no hot keys.
     """

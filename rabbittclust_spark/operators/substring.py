@@ -57,11 +57,12 @@ def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
     """
     from rabbittclust_spark.sources.tables import materialize
 
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+
     postings = fp_sketches.select("doc_id", "n_fp", F.explode("fp").alias("h"))
-    if cfg.max_posting is not None:
-        counts = postings.groupBy("h").agg(F.count("*").alias("_pl"))
-        postings = (postings.join(counts.filter(F.col("_pl") <= cfg.max_posting), "h")
-                    .drop("_pl"))
+    # count-aggregation path: drop-with-logging like index mode
+    postings, _ = _apply_posting_cap(postings, "h", cfg, "substring",
+                                     allow_star=False)
     a, b = postings.alias("a"), postings.alias("b")
     pairs = (
         a.join(b, F.col("a.h") == F.col("b.h"))

@@ -64,3 +64,33 @@ def test_spark_matches_pandas(spark):
     for col in ("url", "text", "lang", "kind"):
         assert local[col].tolist() == dist[col].tolist(), col
     assert [bytes(x) for x in local["html"]] == [bytes(x) for x in dist["html"]]
+
+
+def test_iceberg_sink_fallback(spark, tmp_path):
+    """No Iceberg jars in this container: the stage writer must detect that
+    and fall back to the identical parquet layout; the writeTo wiring itself
+    is exercised on catalog-enabled clusters."""
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.sources.iceberg import (
+        iceberg_catalogs,
+        read_stage_table,
+        write_stage_table,
+    )
+
+    assert iceberg_catalogs(spark) == []
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    path = str(tmp_path / "stage")
+    fmt = write_stage_table(df, path, cfg=PipelineConfig())
+    assert fmt == "parquet"
+    back = read_stage_table(spark, path)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_iceberg_table_properties_carry_config():
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.sources.iceberg import _table_properties
+
+    props = _table_properties(PipelineConfig(shingle_k=17, sketch_size=256))
+    assert props["rabbittclust.shingle_k"] == "17"
+    assert props["rabbittclust.sketch_size"] == "256"
+    assert props["rabbittclust.threshold"] == "0.05"
