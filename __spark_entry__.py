@@ -721,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id
                        FROM documents GROUP BY 1)
             SELECT d.doc_id, g.canonical_id
-            FROM documents d JOIN g ON md5(d.text) = g.h
+            FROM documents d JOIN g ON md5(d.text) IS NOT DISTINCT FROM g.h
         """,
         "ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

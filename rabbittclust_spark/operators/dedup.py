@@ -27,13 +27,18 @@ from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash, sk
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: (doc_id, canonical_id = min doc_id of the
-    identical-text group).  Map-side combinable groupBy on md5(text)."""
+    identical-text group).  Map-side combinable groupBy on md5(text).
+
+    NULL texts hash to NULL; the join back is null-safe so those rows are
+    grouped together (all NULLs are "identical") instead of silently lost."""
     h = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("h"),
     )
     canon = h.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
-    return h.join(canon, "h").select("doc_id", "canonical_id")
+    return (h.alias("l")
+            .join(canon.alias("r"), F.col("l.h").eqNullSafe(F.col("r.h")))
+            .select("doc_id", "canonical_id"))
 
 
 def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
