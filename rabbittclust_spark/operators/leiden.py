@@ -41,16 +41,49 @@ def _prep_graph(edges: DataFrame, src: str, dst: str, dist_col: str | None):
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
 
 
+def knn_cap_edges(edges: DataFrame, k: int, src: str = "src",
+                  dst: str = "dst", dist_col: str = "dist") -> DataFrame:
+    """Per-node k-NN edge cap (reference --knn, src/leiden.cpp:195-231 and
+    src/dbscan.cpp:221-365): keep an edge iff it is among either endpoint's
+    k smallest-distance edges (the reference's per-node max-heap keeps the
+    union).  Ties broken by (dist, neighbor id) for determinism."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"),
+                     F.col(dist_col).alias("dist"))
+    sym = e.select("src", "dst", "dist").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist"))
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(),
+                                          F.col("dst").asc())
+    kept = (sym.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select(F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"))
+            .distinct())
+    return kept.join(
+        e.select(F.least("src", "dst").alias("src"),
+                 F.greatest("src", "dst").alias("dst"), "dist").distinct(),
+        ["src", "dst"])
+
+
 def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       max_iter: int = 20, src: str = "src", dst: str = "dst",
-                      dist_col: str | None = "dist") -> DataFrame:
+                      dist_col: str | None = "dist",
+                      knn: int | None = None) -> DataFrame:
     """edges -> (doc_id, community) for every node appearing in edges.
 
     Community ids are label values (node ids); singletons are absent —
-    attach them exactly like connected-components consumers do.
+    attach them exactly like connected-components consumers do.  ``knn``
+    applies the reference's --knn per-node edge cap before propagation.
     """
     from rabbittclust_spark.sources.tables import materialize
 
+    if knn is not None:
+        if dist_col is None:
+            raise ValueError("knn cap requires a distance column")
+        edges = knn_cap_edges(edges, knn, src=src, dst=dst, dist_col=dist_col)
+        src, dst, dist_col = "src", "dst", "dist"
     sym = materialize(_prep_graph(edges, src, dst, dist_col), "lpa_sym")
     deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
     m2_row = sym.agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("s")).collect()[0]

@@ -39,9 +39,13 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
                     cfg: PipelineConfig) -> DataFrame:
     """Pair intersection counts where the src side is restricted to new docs
     (the reference's start_index lower bound, src/MST.cpp:391-400)."""
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+
     b = int(cfg.probe_hashes)
     probe_new = new_sk.select("doc_id", "n", F.explode(F.slice("sig", 1, b)).alias("h"))
     probe_all = all_sk.select("doc_id", "n", F.explode(F.slice("sig", 1, b)).alias("h"))
+    # hot-key cap applies to the probed (all-docs) side, like pair_counts_probe
+    probe_all, star = _apply_posting_cap(probe_all, "h", cfg, "append")
     cand = (
         probe_new.alias("a").join(probe_all.alias("b"), F.col("a.h") == F.col("b.h"))
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
@@ -50,6 +54,9 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"))
         .distinct()
     )
+    if star is not None:
+        # escalated hot-key candidates (anchor-star) verify exactly below
+        cand = cand.union(star).distinct()
     s = all_sk.select("doc_id", "n", "sig").hint("shuffle_hash")
     joined = (
         cand.join(s.withColumnRenamed("doc_id", "src")

@@ -82,3 +82,30 @@ def test_resolution_monotone(spark, res_lo, res_hi):
     lo = len(set(_spark_communities(spark, edges, resolution=res_lo).values()))
     hi = len(set(_spark_communities(spark, edges, resolution=res_hi).values()))
     assert hi >= lo
+
+
+def test_knn_cap(spark):
+    from rabbittclust_spark.operators.leiden import knn_cap_edges
+
+    # star: node 0 connected to 1..5 with increasing distance; 1-2 close pair
+    edges = [(0, i, 0.1 * i) for i in range(1, 6)] + [(1, 2, 0.05)]
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    capped = {(r.src, r.dst) for r in knn_cap_edges(df, k=2).collect()}
+    # node 0 keeps its 2 nearest (1, 2); far leaves (4, 5) keep their only
+    # edge to 0 via the union rule; (0,3) is in 3's top-2 as its only edge
+    assert (0, 1) in capped and (0, 2) in capped and (1, 2) in capped
+    assert (0, 4) in capped and (0, 5) in capped and (0, 3) in capped
+    # with k=1: node 0 keeps only (0,1); leaves keep their only edge
+    capped1 = {(r.src, r.dst) for r in knn_cap_edges(df, k=1).collect()}
+    assert (0, 1) in capped1 and (1, 2) in capped1
+    assert (0, 2) not in capped1  # not in 0's top-1; 2's top-1 is (1,2)
+
+
+def test_label_propagation_with_knn(spark):
+    edges = _planted_graph()
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    out = label_propagation(df, resolution=1.0, knn=6)
+    comms = {r.doc_id: r.community for r in out.collect()}
+    # planted cliques still resolve under the cap
+    for c in range(3):
+        assert len({comms[c * 8 + i] for i in range(8)}) == 1
