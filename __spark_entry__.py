@@ -5,10 +5,16 @@
                        training-data-pipeline suite).
 ``oracle_sql()``     — DuckDB-equivalent ANSI SQL for every SQL-expressible
                        query (identical column names/aliases + 6dp rounding of
-                       computed floats on both sides).  Non-SQL ops (MinHash /
-                       SimHash sketching, iterative CC) are rows-only here and
-                       oracle-checked in tests/ against a single-process numpy
-                       reference implementation instead.
+                       computed floats on both sides).  Iterative connected
+                       components IS oracle-checked — the DuckDB twin is a
+                       recursive-CTE transitive closure — as are the graph /
+                       postprocess operators built on it (medoid collapse,
+                       DBSCAN, noise removal, incremental append == batch,
+                       RepDB top-k) and the sparse-SRP LSH near-dup plan.
+                       Only custom-hash sketch internals (MinHash / SimHash /
+                       FracMinHash / winnowing / ICWS) are rows-only here;
+                       those are oracle-checked in tests/ against
+                       single-process numpy reference implementations.
 """
 
 from __future__ import annotations

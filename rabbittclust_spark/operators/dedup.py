@@ -64,12 +64,13 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
                        F.col(text_col).alias("text"))
 
     if cfg.exact_prededup:
-        # exact_dedup is a UDF-free md5 groupBy, so its two consumers (the
-        # canon join here and the final assignment join) can safely re-derive
-        # it — the Spark 4.1 join pathology only bites when both branches
-        # share a mapInPandas source.  Callers whose `docs` come from an
-        # extract UDF must materialize upstream (plans/pipeline.py does).
         exact = exact_dedup(base)
+        if materialize:
+            # one pass over `base` for the md5 table: the exact mapping is
+            # consumed again by the final assignment join, and `base` may be
+            # expensive to re-derive (e.g. an html-extract UDF) — measured
+            # 3x extract re-execution without this barrier
+            exact = _mat(exact, "exact")
         canon_docs = (
             base.join(exact.where(F.col("doc_id") == F.col("canonical_id"))
                       .select("doc_id"), "doc_id")
@@ -86,8 +87,11 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
     if materialize:
         edges = _mat(edges, "edges")
     membership = connected_components(edges)
+    # node universe = the (materialized) sketch table: identical to
+    # "canon docs above min_len" but NEVER re-derives `base` (an extract-UDF
+    # base would otherwise re-execute here)
     canon_assign = assignments_from_components(
-        canon_docs.filter(F.length("text") >= cfg.min_len), membership
+        sketches.select("doc_id"), membership
     )
     # propagate cluster ids back through the exact-dup mapping; docs below
     # min_len keep cluster_id = themselves only if their canonical survived —

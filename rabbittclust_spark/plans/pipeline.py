@@ -59,6 +59,16 @@ class DedupPipeline:
             html_col: str | None = None, id_col: str = "doc_id",
             text_col: str = "text") -> dict[str, DataFrame]:
         """Execute all stages; returns {stage: DataFrame (parquet-backed)}."""
+        from rabbittclust_spark.sources.tables import validate_input_schema
+
+        # file-format gate analog (src/SketchInfo.cpp:555-562): fail fast on
+        # a wrong input schema instead of mid-job
+        validate_input_schema(
+            docs,
+            {id_col: "any",
+             (html_col if html_col is not None else text_col):
+                 ("binary" if html_col is not None else "string")},
+            table="webtext")
         out: dict[str, DataFrame] = {}
 
         # fingerprint the INPUT data (row count + content hash sum) so

@@ -23,6 +23,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def validate_input_schema(df: DataFrame, required: dict[str, str],
+                          table: str = "input") -> None:
+    """File-format gate analog (reference accepts only .fasta/.fna/.fa,
+    src/SketchInfo.cpp:555-562): reject inputs whose schema lacks the
+    required columns or carries incompatible types, with a readable error
+    instead of a mid-job analysis exception.
+
+    ``required`` maps column name -> simple type name prefix (e.g.
+    {"text": "string", "doc_id": "bigint"}).  Pass "any" to check presence
+    only.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, want in required.items():
+        if col not in actual:
+            problems.append(f"missing column {col!r} (want {want})")
+        elif want != "any" and not actual[col].startswith(want):
+            problems.append(f"column {col!r} has type {actual[col]} (want {want})")
+    if problems:
+        raise ValueError(
+            f"{table} schema invalid: " + "; ".join(problems)
+            + f"; actual schema: {actual}")
+
+
 def write_stage(df: DataFrame, out_root: str, stage: str,
                 partition_by: list[str] | None = None) -> str:
     path = os.path.join(out_root, stage)

@@ -114,3 +114,39 @@ def test_sparse_srp_plan_is_bucketed(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sparse_srp_multiprobe_lifts_recall(spark):
+    """Multiprobe must find a strict superset of the exact-probe pairs and
+    lift recall at mid similarity (where exact probing misses)."""
+    from rabbittclust_spark.operators.ann import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    rows = []
+    vid = 0
+    # mid-similarity planted pairs (cos ~0.75-0.9): the regime where
+    # 4-plane/8-table exact probing loses pairs
+    for _ in range(60):
+        v = rng.standard_normal(dim)
+        w = v + 0.45 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    for _ in range(150):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    truth = {(r.src, r.dst)
+             for r in embedding_neardup_pairs(df, tau=0.6, round_dp=None).collect()}
+    exact = {(r.src, r.dst)
+             for r in embedding_neardup_lsh(df, tau=0.6, dim=dim,
+                                            round_dp=None).collect()}
+    probed = {(r.src, r.dst)
+              for r in embedding_neardup_lsh(df, tau=0.6, dim=dim,
+                                             round_dp=None,
+                                             multiprobe=4).collect()}
+    assert exact <= probed <= truth
+    assert len(probed & truth) > len(exact & truth)

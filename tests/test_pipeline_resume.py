@@ -98,3 +98,15 @@ def test_input_change_invalidates_resume(spark, corpus, tmp_path_factory):
     sk_id2 = json.load(open(os.path.join(root, "sketches", "_manifest.json")))["manifest_id"]
     assert sk_id2 != sk_id  # sketches WERE recomputed for the new input
     assert out2["assignments"].count() > 0
+
+
+def test_input_schema_gate(spark, corpus, tmp_path_factory):
+    """File-format gate analog: a wrong input schema fails fast with a
+    readable error (reference: .fasta/.fna/.fa gate, SketchInfo.cpp:555-562)."""
+    root = str(tmp_path_factory.mktemp("pipe4"))
+    bad = spark.createDataFrame([(1, 42)], "doc_id long, text int")
+    with pytest.raises(ValueError, match="schema invalid"):
+        DedupPipeline(spark, CFG, root).run(bad)
+    missing = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="missing column"):
+        DedupPipeline(spark, CFG, root).run(missing)

@@ -81,7 +81,11 @@ def run_flagship(cpus: int) -> tuple[float, int]:
     sketch_minhash(with_extracted_text(docs.limit(32)), cfg).count()
 
     t0 = time.time()
-    extracted = with_extracted_text(docs)
+    # materialize the extracted stage first — exactly what the persistent
+    # pipeline does (plans/pipeline.py `extracted` table); the extract UDF
+    # runs ONCE, every downstream consumer reads parquet
+    from rabbittclust_spark.sources.tables import materialize
+    extracted = materialize(with_extracted_text(docs), "extracted")
     n = minhash_dedup(extracted, cfg)["assignments"].count()
     wall = time.time() - t0
     spark.stop()
