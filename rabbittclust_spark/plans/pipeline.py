@@ -40,6 +40,7 @@ from rabbittclust_spark.operators.pairs import build_edges
 from rabbittclust_spark.operators.postprocess import (
     assignments_from_components,
     dedup_medoid_collapse,
+    k_reps_per_cluster,
 )
 from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash
 
@@ -151,6 +152,14 @@ class DedupPipeline:
                     out["assignments"], out["edges"],
                     out["sketches"].select("doc_id", "len"),
                     self.cfg.dedup_dist),
+                resume)
+        if self.cfg.reps_per_cluster > 1:
+            # --reps-per-cluster: k diverse reps via farthest-point selection
+            # (src/cluster_postprocess.cpp:184-327)
+            out["reps"] = self._stage(
+                "reps", ["assignments", "edges"],
+                lambda: k_reps_per_cluster(out["assignments"], out["edges"],
+                                           self.cfg.reps_per_cluster),
                 resume)
         return out
 

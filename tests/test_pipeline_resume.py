@@ -110,3 +110,20 @@ def test_input_schema_gate(spark, corpus, tmp_path_factory):
     missing = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="missing column"):
         DedupPipeline(spark, CFG, root).run(missing)
+
+
+def test_reps_and_dedup_stages(spark, corpus, tmp_path_factory):
+    """--reps-per-cluster and --dedup-dist stage wiring."""
+    import dataclasses
+
+    root = str(tmp_path_factory.mktemp("pipe5"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    cfg = dataclasses.replace(CFG, reps_per_cluster=2, dedup_dist=0.02)
+    out = DedupPipeline(spark, cfg, root).run(docs)
+    assert "reps" in out and "dedup_groups" in out
+    reps = out["reps"].toPandas()
+    per_cluster = reps.groupby("cluster_id")["rep_id"].count()
+    assert (per_cluster <= 2).all() and len(reps) > 0
+    # rep_rank 0 is the deterministic min-doc start
+    r0 = reps[reps.rep_rank == 0]
+    assert (r0.groupby("cluster_id").size() == 1).all()
