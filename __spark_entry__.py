@@ -143,15 +143,22 @@ def _q_ngram_jaccard(spark, sf_dir):
                                min_jaccard=NGRAM_MIN_JACCARD, block_col="source")
 
 
-def _token_pairs(spark, sf_dir):
-    """Distinct-token inverted-index pair counts blocked by source — the
-    SQL-expressible twin of pair_counts_index (src/MST.cpp:399-575)."""
+def _token_postings(spark, sf_dir):
+    """(doc_id, source, tok) distinct-token posting rows — the single source
+    of the tokenization expression shared by every token-graph query (MUST
+    stay in lockstep with the DuckDB CTEs' regexp_extract_all)."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
+    return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source",
         F.explode(F.array_distinct(
             F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))).alias("tok"),
     )
+
+
+def _token_pairs(spark, sf_dir):
+    """Distinct-token inverted-index pair counts blocked by source — the
+    SQL-expressible twin of pair_counts_index (src/MST.cpp:399-575)."""
+    toks = _token_postings(spark, sf_dir)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     pairs = (
@@ -402,11 +409,7 @@ def _q_repdb_topk(spark, sf_dir):
     O(shared-key candidates), never queries x reps."""
     from rabbittclust_spark.streaming.incremental import query_topk_postings
 
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source",
-        F.explode(F.array_distinct(
-            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))).alias("tok"))
+    toks = _token_postings(spark, sf_dir)
     reps = toks.where(F.col("doc_id") % REPDB_QUERY_MOD != 0)
     qs = toks.where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
     out = query_topk_postings(reps, qs, distance_k=TOKEN_MASH_K, k=REPDB_K,

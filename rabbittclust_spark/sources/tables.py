@@ -64,12 +64,41 @@ def read_stage(spark: SparkSession, out_root: str, stage: str) -> DataFrame:
 _MATERIALIZE_DIRS: list[str] = []
 
 
-def _cleanup_materialized() -> None:
+def cleanup_materialized() -> None:
+    """Delete every temp-parquet dir created by :func:`materialize`.
+
+    Runs automatically at interpreter exit; long-lived drivers (e.g. the
+    streaming ingest sink) call it explicitly at safe points — ONLY when no
+    previously-materialized DataFrame will be read again (their backing
+    files are removed)."""
     import shutil
 
     for d in _MATERIALIZE_DIRS:
         shutil.rmtree(d, ignore_errors=True)
     _MATERIALIZE_DIRS.clear()
+
+
+def materialize_scope():
+    """Context manager: temp-parquet dirs created by :func:`materialize`
+    INSIDE the scope are deleted on exit.  For long-lived drivers (e.g. the
+    streaming sink's per-batch work) at points where no frame materialized
+    inside the scope will be read again; dirs created before the scope are
+    untouched."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        mark = len(_MATERIALIZE_DIRS)
+        try:
+            yield
+        finally:
+            import shutil
+
+            for d in _MATERIALIZE_DIRS[mark:]:
+                shutil.rmtree(d, ignore_errors=True)
+            del _MATERIALIZE_DIRS[mark:]
+
+    return _scope()
 
 
 def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -89,7 +118,7 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
 
     d = tempfile.mkdtemp(prefix=f"rtc_{name}_")
     if not _MATERIALIZE_DIRS:
-        atexit.register(_cleanup_materialized)
+        atexit.register(cleanup_materialized)
     _MATERIALIZE_DIRS.append(d)
     path = os.path.join(d, "data")
     df.write.mode("overwrite").parquet(path)

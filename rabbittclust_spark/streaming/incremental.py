@@ -55,7 +55,17 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
         .distinct()
     )
     if star is not None:
-        # escalated hot-key candidates (anchor-star) verify exactly below
+        # escalated hot-key candidates (anchor-star) verify exactly below;
+        # restricted to pairs touching >= 1 NEW doc — the append contract is
+        # "src side limited to new docs" (start_index, src/MST.cpp:391-400),
+        # and old x old pairs are already settled in the persisted state
+        new_ids = new_sk.select("doc_id")
+        star = (star.join(new_ids.withColumnRenamed("doc_id", "src"),
+                          "src", "left_semi")
+                .unionByName(
+                    star.join(new_ids.withColumnRenamed("doc_id", "dst"),
+                              "dst", "left_semi"))
+                .distinct())
         cand = cand.union(star).distinct()
     s = all_sk.select("doc_id", "n", "sig").hint("shuffle_hash")
     joined = (
@@ -182,13 +192,15 @@ def query_topk(rep_sketches: DataFrame, query_docs: DataFrame,
     (the previous broadcast nested-loop form was a scale-killer at 10^8
     reps).  ``cfg.max_posting`` caps hot rep postings like --max-posting
     (src/dbscan.cpp:95-220)."""
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+
     q_sk = sketch_minhash(query_docs, cfg, id_col=id_col, text_col=text_col)
     q_post = q_sk.select("doc_id", F.explode("sig").alias("key"))
     r_post = rep_sketches.select("doc_id", F.explode("sig").alias("key"))
-    if cfg.max_posting is not None:
-        counts = r_post.groupBy("key").agg(F.count("*").alias("_pl"))
-        r_post = (r_post.join(counts.filter(F.col("_pl") <= cfg.max_posting),
-                              "key").drop("_pl"))
+    # count-aggregation path: hot rep postings drop WITH logged accounting
+    # (allow_star=False — star candidates carry no counts), like index mode
+    r_post, _ = _apply_posting_cap(r_post, "key", cfg, "repdb",
+                                   allow_star=False)
     out = query_topk_postings(r_post, q_post, cfg.distance_k, k=k,
                               key_cols=("key",))
     return out.select("query_id", "rep_id", "dist", "rank")

@@ -32,17 +32,24 @@ class StreamingDedup:
         self.spark = spark
         self.cfg = cfg
         self.state_root = state_root
+        self.query = None  # StreamingQuery handle, set by stream_ingest
         os.makedirs(state_root, exist_ok=True)
 
     # ------------------------------------------------------------- state IO
     def _pointer_path(self) -> str:
         return os.path.join(self.state_root, _POINTER)
 
-    def _current_version(self) -> int:
+    def _pointer(self) -> dict:
         try:
             with open(self._pointer_path()) as f:
-                return int(json.load(f)["version"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                return json.load(f)
+        except (OSError, ValueError, json.JSONDecodeError):
+            return {"version": -1, "batch_id": -1}
+
+    def _current_version(self) -> int:
+        try:
+            return int(self._pointer()["version"])
+        except (KeyError, ValueError):
             return -1
 
     def load_state(self) -> tuple[DataFrame, DataFrame]:
@@ -61,18 +68,47 @@ class StreamingDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from rabbittclust_spark.streaming.incremental import append_batch
 
-        old_sk, old_assign = self.load_state()
-        out = append_batch(old_sk, old_assign, batch_df, self.cfg)
-        v = self._current_version() + 1
-        base = os.path.join(self.state_root, f"v{v}")
-        out["sketches"].write.mode("overwrite").parquet(
-            os.path.join(base, "sketches"))
-        out["assignments"].select("doc_id", "cluster_id").write.mode(
-            "overwrite").parquet(os.path.join(base, "assignments"))
+        ptr = self._pointer()
+        if int(batch_id) <= int(ptr.get("batch_id", -1)):
+            # replay after a crash between the state-pointer flip and the
+            # stream-checkpoint commit: the batch is already in the state —
+            # re-applying it would duplicate every doc, so skip (idempotent)
+            return
+        from rabbittclust_spark.sources.tables import materialize_scope
+
+        with materialize_scope():
+            # this batch's temp-parquet barriers are deleted on scope exit —
+            # the state writes below are the only consumers, so a
+            # continuously running stream never accumulates /tmp dirs
+            old_sk, old_assign = self.load_state()
+            out = append_batch(old_sk, old_assign, batch_df, self.cfg)
+            v = self._current_version() + 1
+            base = os.path.join(self.state_root, f"v{v}")
+            out["sketches"].write.mode("overwrite").parquet(
+                os.path.join(base, "sketches"))
+            out["assignments"].select("doc_id", "cluster_id").write.mode(
+                "overwrite").parquet(os.path.join(base, "assignments"))
         tmp = self._pointer_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": v, "batch_id": int(batch_id)}, f)
         os.replace(tmp, self._pointer_path())
+        self._prune(keep_from=v - 1)
+
+    def _prune(self, keep_from: int) -> None:
+        """Drop state versions older than ``keep_from`` (one crash-safety
+        predecessor is kept) — a continuously running stream must not fill
+        the disk."""
+        import shutil
+
+        for name in os.listdir(self.state_root):
+            if name.startswith("v"):
+                try:
+                    ver = int(name[1:])
+                except ValueError:
+                    continue
+                if ver < keep_from:
+                    shutil.rmtree(os.path.join(self.state_root, name),
+                                  ignore_errors=True)
 
 
 def stream_ingest(spark: SparkSession, cfg: PipelineConfig, input_dir: str,
@@ -91,5 +127,6 @@ def stream_ingest(spark: SparkSession, cfg: PipelineConfig, input_dir: str,
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     else:
-        writer.start()
+        q = writer.start()
+    sink.query = q  # caller can stop()/awaitTermination()/exception()
     return sink

@@ -63,3 +63,21 @@ def test_stream_rerun_without_new_data_is_noop(spark, corpus, tmp_path_factory):
     v1 = sink._current_version()
     sink = stream_ingest(spark, CFG, in_dir + "/*", state, ckpt)
     assert sink._current_version() == v1  # no new files -> no new state version
+
+
+def test_replayed_batch_is_idempotent(spark, corpus, tmp_path_factory):
+    """foreachBatch replay after a crash between the state-pointer flip and
+    the stream-checkpoint commit must NOT duplicate state."""
+    from rabbittclust_spark.streaming.ingest import StreamingDedup
+
+    root = tmp_path_factory.mktemp("stream3")
+    sink = StreamingDedup(spark, CFG, str(root / "state"))
+    batch = spark.createDataFrame(corpus[["doc_id", "text"]])
+    sink.process_batch(batch, batch_id=0)
+    v1 = sink._current_version()
+    n1 = sink.load_state()[0].count()
+    sink.process_batch(batch, batch_id=0)  # replay of the SAME batch
+    assert sink._current_version() == v1   # no new state version
+    assert sink.load_state()[0].count() == n1  # no duplicated sketches
+    sink.process_batch(batch.where("doc_id < 0"), batch_id=1)  # next batch ok
+    assert sink._current_version() == v1 + 1
