@@ -441,6 +441,61 @@ def _q_noise_removal(spark, sf_dir):
     return remove_noise(assignments, edges)
 
 
+def _q_token_simhash(spark, sf_dir):
+    """Charikar SimHash majority-bit vote, oracle-checkable twin: the 64-bit
+    fingerprint over md5(token) bits (md5 is identical across engines, so
+    the VOTE AGGREGATION itself — the heart of functions/simhash.simhash64 —
+    is SQL-checked; the production path only swaps the token hash for the
+    rolling shingle hash).  Output: (doc_id, simhash_hex 16-char string) —
+    a hex string avoids the int64 sign-bit overflow at bit 63."""
+    toks = _token_postings(spark, sf_dir).select("doc_id", "tok")
+    h = F.md5("tok")
+    votes = [
+        F.sum(2 * F.shiftright(F.conv(F.substring(h, j // 4 + 1, 1), 16, 10)
+                               .cast("int"), j % 4).bitwiseAND(F.lit(1)) - 1)
+        .alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    hexmap = "0123456789abcdef"
+    digits = []
+    for d in range(16):
+        val = sum(
+            (F.when(F.coalesce(F.col(f"v{d * 4 + b}"), F.lit(0)) > 0, 1)
+             .otherwise(0) * (1 << b))
+            for b in range(4)
+        )
+        digits.append(F.element_at(F.split(F.lit(hexmap), ""), val + 1))
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.join(agg, "doc_id", "left")
+            .select("doc_id", F.concat(*digits).alias("simhash_hex")))
+
+
+def _sql_token_simhash() -> str:
+    votes = ", ".join(
+        f"sum(2 * (((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {j % 4}) & 1) - 1) AS v{j}"
+        for j in range(64))
+    digits = []
+    for d in range(16):
+        val = " + ".join(
+            f"(CASE WHEN coalesce(v{d * 4 + b}, 0) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(4))
+        digits.append(f"substr('0123456789abcdef', ({val}) + 1, 1)")
+    concat = " || ".join(digits)
+    return f"""
+        WITH sraw AS (
+          SELECT doc_id, unnest(list_distinct(
+                     regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+          FROM documents
+        ),
+        stoks AS (SELECT doc_id, md5(tok) AS h FROM sraw),
+        svotes AS (SELECT doc_id, {votes} FROM stoks GROUP BY doc_id)
+        SELECT d.doc_id, {concat} AS simhash_hex
+        FROM documents d LEFT JOIN svotes USING (doc_id)
+    """
+
+
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
@@ -524,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_banded": _q_minhash_dedup_banded,
         "simhash_dedup": _q_simhash_dedup,
         "fracminhash_containment": _q_fracminhash_containment,
+        "token_simhash": _q_token_simhash,
         # graph / clustering / postprocess over the token-edge graph
         # (oracle-checked end to end, incl. connected components)
         "token_clusters": _q_token_clusters,
@@ -865,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_TAU}
         """,
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
+        "token_simhash": _sql_token_simhash(),
         # ---- graph / clustering / postprocess over the token-edge graph ----
         "token_clusters": _SQL_TOKEN_CLUSTERS,
         "token_cluster_stats": f"""
