@@ -496,6 +496,79 @@ def _sql_token_simhash() -> str:
     """
 
 
+TOKEN_MINHASH_S = 64        # bottom-s size for the md5 MinHash twin
+TOKEN_MINHASH_MIN_COMMON = 3
+TOKEN_FRAC_PREFIX = "0"     # md5 starting with '0' = 1/16 FracMinHash sample
+
+
+def _q_token_minhash_mash(spark, sf_dir):
+    """Bottom-s MinHash SEMANTICS oracle-checked end-to-end: sketch = the s
+    lexicographically-smallest md5(token) values per doc (hex order ==
+    numeric order), pair intersection via the sketch equi-join, Jaccard
+    estimate, Mash distance — the full MinHash pipeline of
+    operators/sketch.sketch_minhash + pairs.pair_counts_index with md5
+    swapped in for the rolling shingle hash (md5 is identical across
+    engines)."""
+    toks = _token_postings(spark, sf_dir)
+    h = toks.select("doc_id", "source", F.md5("tok").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    sk = (h.withColumn("_rk", F.row_number().over(w))
+          .where(F.col("_rk") <= TOKEN_MINHASH_S).drop("_rk"))
+    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) &
+               (F.col("a.source") == F.col("b.source")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= TOKEN_MINHASH_MIN_COMMON)
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n", "n1"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n", "n2"), "dst")
+    )
+    from rabbittclust_spark.functions.distances import jaccard_expr, mash_distance_expr
+    j = jaccard_expr(F.col("common"), F.col("n1"), F.col("n2"))
+    d = mash_distance_expr(j, TOKEN_MASH_K)
+    return pairs.select(
+        "src", "dst", F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"), "common",
+        F.round(j, 6).alias("jaccard"), F.round(d, 6).alias("mash_d"))
+
+
+def _q_token_fracminhash(spark, sf_dir):
+    """FracMinHash SEMANTICS oracle-checked: keep tokens whose md5 starts
+    with '0' (a deterministic 1/16 hash-space sample — the KSSD
+    dimension-reduction predicate, src/SketchInfo.cpp:60-102), variable-size
+    sketches, containment/AAF distance (src/MST.cpp:529-540)."""
+    toks = _token_postings(spark, sf_dir)
+    sk = toks.select("doc_id", "source", F.md5("tok").alias("h")) \
+        .where(F.substring("h", 1, 1) == TOKEN_FRAC_PREFIX)
+    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) &
+               (F.col("a.source") == F.col("b.source")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("common"))
+        .where(F.col("common") >= 2)
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n", "n1"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n", "n2"), "dst")
+    )
+    from rabbittclust_spark.functions.distances import containment_distance_expr
+    c = F.col("common") / F.least("n1", "n2")
+    d = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
+                                  TOKEN_MASH_K)
+    return pairs.select(
+        "src", "dst", F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"), "common",
+        F.round(c, 6).alias("containment"), F.round(d, 6).alias("aaf_d"))
+
+
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
@@ -580,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "fracminhash_containment": _q_fracminhash_containment,
         "token_simhash": _q_token_simhash,
+        "token_minhash_mash": _q_token_minhash_mash,
+        "token_fracminhash": _q_token_fracminhash,
         # graph / clustering / postprocess over the token-edge graph
         # (oracle-checked end to end, incl. connected components)
         "token_clusters": _q_token_clusters,
@@ -922,6 +997,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "token_simhash": _sql_token_simhash(),
+        "token_minhash_mash": f"""
+            WITH mraw AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                         regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+              FROM documents
+            ),
+            mh AS (SELECT doc_id, source, md5(tok) AS h FROM mraw),
+            msk AS (
+              SELECT doc_id, source, h FROM (
+                SELECT doc_id, source, h,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+                FROM mh
+              ) WHERE rk <= {TOKEN_MINHASH_S}
+            ),
+            msizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                       FROM msk GROUP BY doc_id),
+            mpairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM msk a JOIN msk b
+                ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= {TOKEN_MINHASH_MIN_COMMON}
+            ),
+            mscored AS (
+              SELECT p.src, p.dst, sa.n AS n1, sb.n AS n2, p.common,
+                     p.common / CAST(sa.n + sb.n - p.common AS DOUBLE) AS j
+              FROM mpairs p
+              JOIN msizes sa ON p.src = sa.doc_id
+              JOIN msizes sb ON p.dst = sb.doc_id
+            )
+            SELECT src, dst, n1, n2, common,
+                   round(j, 6) AS jaccard,
+                   round(CASE WHEN j >= 1.0 THEN 0.0
+                              WHEN j <= 0.0 THEN 1.0
+                              ELSE least(1.0, -ln(2.0 * j / (1.0 + j)) / {TOKEN_MASH_K}.0)
+                         END, 6) AS mash_d
+            FROM mscored
+        """,
+        "token_fracminhash": f"""
+            WITH fraw AS (
+              SELECT doc_id, source, unnest(list_distinct(
+                         regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+              FROM documents
+            ),
+            fh AS (SELECT doc_id, source, md5(tok) AS h FROM fraw
+                   WHERE substr(md5(tok), 1, 1) = '{TOKEN_FRAC_PREFIX}'),
+            fsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                       FROM fh GROUP BY doc_id),
+            fpairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(count(*) AS BIGINT) AS common
+              FROM fh a JOIN fh b
+                ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            fscored AS (
+              SELECT p.src, p.dst, sa.n AS n1, sb.n AS n2, p.common,
+                     p.common / CAST(least(sa.n, sb.n) AS DOUBLE) AS c
+              FROM fpairs p
+              JOIN fsizes sa ON p.src = sa.doc_id
+              JOIN fsizes sb ON p.dst = sb.doc_id
+            )
+            SELECT src, dst, n1, n2, common,
+                   round(c, 6) AS containment,
+                   round(CASE WHEN least(n1, n2) <= 0 THEN 1.0
+                              WHEN common <= 0 THEN 1.0
+                              WHEN c >= 1.0 THEN 0.0
+                              ELSE least(1.0, -ln(c) / {TOKEN_MASH_K}.0)
+                         END, 6) AS aaf_d
+            FROM fscored
+        """,
         # ---- graph / clustering / postprocess over the token-edge graph ----
         "token_clusters": _SQL_TOKEN_CLUSTERS,
         "token_cluster_stats": f"""
