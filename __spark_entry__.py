@@ -569,6 +569,51 @@ def _q_token_fracminhash(spark, sf_dir):
         F.round(c, 6).alias("containment"), F.round(d, 6).alias("aaf_d"))
 
 
+TOKEN_WINNOW_W = 8          # winnowing window (tokens)
+TOKEN_WINNOW_MIN_SHARED = 2
+TOKEN_WINNOW_MIN_CONTAIN = 0.3
+
+
+def _q_token_winnow(spark, sf_dir):
+    """Winnowing fingerprint SEMANTICS oracle-checked (Schleimer SIGMOD'03,
+    the reference's exact-substring family via operators/substring.py):
+    fingerprints = distinct minima of md5(token) over every full sliding
+    window of W consecutive tokens, shared-fingerprint pair counts,
+    containment = shared/min(n_fp) — md5 swapped in for the rolling hash."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.posexplode(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
+                                          F.lit(0))).alias("pos", "tok"))
+    h = toks.select("doc_id", "source", "pos", F.md5("tok").alias("h"))
+    cnt = h.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.currentRow, TOKEN_WINNOW_W - 1)
+    fps = (h.withColumn("fp", F.min("h").over(w))
+           .join(cnt, "doc_id")
+           .where(F.col("pos") <= F.col("cnt") - TOKEN_WINNOW_W)
+           .select("doc_id", "source", "fp").distinct())
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) &
+               (F.col("a.source") == F.col("b.source")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= TOKEN_WINNOW_MIN_SHARED)
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n_fp", "n1"), "src")
+        .join(sizes.withColumnRenamed("doc_id", "dst")
+                   .withColumnRenamed("n_fp", "n2"), "dst")
+    )
+    c = F.col("shared") / F.least("n1", "n2")
+    return (pairs.where(c >= TOKEN_WINNOW_MIN_CONTAIN)
+            .select("src", "dst", F.col("n1").cast("long").alias("n1"),
+                    F.col("n2").cast("long").alias("n2"), "shared",
+                    F.round(c, 6).alias("containment")))
+
+
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
@@ -655,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_simhash": _q_token_simhash,
         "token_minhash_mash": _q_token_minhash_mash,
         "token_fracminhash": _q_token_fracminhash,
+        "token_winnow": _q_token_winnow,
         # graph / clustering / postprocess over the token-edge graph
         # (oracle-checked end to end, incl. connected components)
         "token_clusters": _q_token_clusters,
@@ -997,6 +1043,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "token_simhash": _sql_token_simhash(),
+        "token_winnow": f"""
+            WITH wtok AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(text, '{TOKEN_RE}') AS l
+              FROM documents
+            ),
+            wh AS (
+              SELECT doc_id, source, s.i - 1 AS pos, md5(l[s.i]) AS h,
+                     len(l) AS cnt
+              FROM wtok, UNNEST(generate_series(1, len(l))) AS s(i)
+            ),
+            wfp AS (
+              SELECT DISTINCT doc_id, source, fp FROM (
+                SELECT doc_id, source, pos, cnt,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {TOKEN_WINNOW_W - 1} FOLLOWING) AS fp
+                FROM wh
+              ) WHERE pos <= cnt - {TOKEN_WINNOW_W}
+            ),
+            wsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                       FROM wfp GROUP BY doc_id),
+            wpairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM wfp a JOIN wfp b
+                ON a.fp = b.fp AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= {TOKEN_WINNOW_MIN_SHARED}
+            ),
+            wscored AS (
+              SELECT p.src, p.dst, sa.n_fp AS n1, sb.n_fp AS n2, p.shared,
+                     p.shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS c
+              FROM wpairs p
+              JOIN wsizes sa ON p.src = sa.doc_id
+              JOIN wsizes sb ON p.dst = sb.doc_id
+            )
+            SELECT src, dst, n1, n2, shared, round(c, 6) AS containment
+            FROM wscored WHERE c >= {TOKEN_WINNOW_MIN_CONTAIN}
+        """,
         "token_minhash_mash": f"""
             WITH mraw AS (
               SELECT doc_id, source, unnest(list_distinct(
