@@ -70,12 +70,19 @@ def knn_cap_edges(edges: DataFrame, k: int, src: str = "src",
 def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       max_iter: int = 20, src: str = "src", dst: str = "dst",
                       dist_col: str | None = "dist",
-                      knn: int | None = None) -> DataFrame:
+                      knn: int | None = None,
+                      driver_cutoff: int = 2_000_000) -> DataFrame:
     """edges -> (doc_id, community) for every node appearing in edges.
 
     Community ids are label values (node ids); singletons are absent —
     attach them exactly like connected-components consumers do.  ``knn``
     applies the reference's --knn per-node edge cap before propagation.
+
+    Edge sets at or below ``driver_cutoff`` rows run the single-process twin
+    on collected edges (same update rule and tie-breaks — equality is tested
+    in tests/test_leiden.py), exactly like connected_components' driver
+    union-find cutoff; larger graphs run the distributed iterations.  Set
+    driver_cutoff=0 to force the distributed path.
     """
     from rabbittclust_spark.sources.tables import materialize
 
@@ -84,6 +91,22 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             raise ValueError("knn cap requires a distance column")
         edges = knn_cap_edges(edges, knn, src=src, dst=dst, dist_col=dist_col)
         src, dst, dist_col = "src", "dst", "dist"
+    if driver_cutoff:
+        n_edges = edges.count()
+        if n_edges <= driver_cutoff:
+            cols = [src, dst] + ([dist_col] if dist_col is not None else [])
+            pdf = edges.select(*cols).toPandas()
+            triples = [
+                (int(r[0]), int(r[1]),
+                 float(r[2]) if dist_col is not None else 0.0)
+                for r in pdf.itertuples(index=False)
+            ]
+            labels = label_propagation_reference(triples,
+                                                 resolution=resolution,
+                                                 max_iter=max_iter)
+            out = [(int(u), int(c)) for u, c in sorted(labels.items())]
+            return edges.sparkSession.createDataFrame(
+                out or [], "doc_id long, community long")
     sym = materialize(_prep_graph(edges, src, dst, dist_col), "lpa_sym")
     deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
     m2_row = sym.agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("s")).collect()[0]

@@ -32,10 +32,21 @@ def _planted_graph(seed=3, cliques=3, size=8, internal_d=0.05, bridge_d=0.85):
     return edges
 
 
-def _spark_communities(spark, edges, resolution=1.0):
+def _spark_communities(spark, edges, resolution=1.0, driver_cutoff=0):
+    # driver_cutoff=0 forces the DISTRIBUTED iterations (the default driver
+    # fast path is the reference twin itself, so testing it against the twin
+    # would be vacuous)
     df = spark.createDataFrame(edges, "src long, dst long, dist double")
-    out = label_propagation(df, resolution=resolution)
+    out = label_propagation(df, resolution=resolution,
+                            driver_cutoff=driver_cutoff)
     return {r.doc_id: r.community for r in out.collect()}
+
+
+def test_driver_path_equals_distributed(spark):
+    edges = _planted_graph(seed=9)
+    dist = _spark_communities(spark, edges, driver_cutoff=0)
+    drv = _spark_communities(spark, edges, driver_cutoff=2_000_000)
+    assert drv == dist
 
 
 def test_matches_reference_twin(spark):
