@@ -418,6 +418,29 @@ def _q_repdb_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+REPDB_ASSIGN_D = 0.2   # --assign threshold on the token-Mash distance
+
+
+def _q_repdb_assign(spark, sf_dir):
+    """RepDB --assign (src/sub_command.cpp:337-450): best rep within the
+    threshold else novel, over the token-posting probe join."""
+    from rabbittclust_spark.streaming.incremental import query_topk_postings
+
+    toks = _token_postings(spark, sf_dir)
+    reps = toks.where(F.col("doc_id") % REPDB_QUERY_MOD != 0)
+    qs = toks.where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
+    top1 = query_topk_postings(reps, qs, distance_k=TOKEN_MASH_K, k=1,
+                               key_cols=("source", "tok"))
+    hit = top1.where(F.col("dist") <= REPDB_ASSIGN_D) \
+        .select("query_id", "rep_id", "dist")
+    all_q = (_docs(spark, sf_dir)
+             .where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
+             .select(F.col("doc_id").cast("long").alias("query_id")))
+    return (all_q.join(hit, "query_id", "left")
+            .select("query_id", "rep_id", "dist",
+                    F.col("rep_id").isNull().alias("is_novel")))
+
+
 def _q_dbscan(spark, sf_dir):
     """DBSCAN over the eps-neighborhood graph (src/dbscan.cpp:725-1101):
     core = degree+1 >= minPts, clusters = CC of core-core subgraph,
@@ -709,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_medoid": _q_dedup_medoid,
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
+        "repdb_assign": _q_repdb_assign,
         "multimodal_features": _q_multimodal_features,
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
@@ -830,6 +854,55 @@ def _sql_embedding_neardup_lsh() -> str:
         JOIN c cb ON d.dst = cb.vec_id
         WHERE list_cosine_similarity(ca.v, cb.v) >= {NEARDUP_TAU}
     """
+
+
+# RepDB probe CTE chain (shared by repdb_topk / repdb_assign): token
+# postings, query/rep split, exact intersection counts via the posting
+# equi-join, Mash distance (6dp-rounded before ranking), per-query ranking.
+_REPDB_CTE = None  # assigned below once constants exist
+
+
+def _build_repdb_cte() -> str:
+    return f"""rtoks AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+              FROM documents
+            ),
+            q AS (SELECT doc_id AS query_id, source, tok FROM rtoks
+                  WHERE doc_id % {REPDB_QUERY_MOD} = 0),
+            r AS (SELECT doc_id AS rep_id, source, tok FROM rtoks
+                  WHERE doc_id % {REPDB_QUERY_MOD} != 0),
+            nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n1 FROM q GROUP BY 1),
+            nr AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n2 FROM r GROUP BY 1),
+            rpairs AS (
+              SELECT q.query_id, r.rep_id, CAST(count(*) AS BIGINT) AS common
+              FROM q JOIN r ON q.tok = r.tok AND q.source = r.source
+               AND q.query_id != r.rep_id
+              GROUP BY 1, 2
+            ),
+            rscored AS (
+              SELECT p.query_id, p.rep_id, p.common, nq.n1, nr.n2,
+                     p.common / CAST(nq.n1 + nr.n2 - p.common AS DOUBLE) AS j
+              FROM rpairs p
+              JOIN nq ON p.query_id = nq.query_id
+              JOIN nr ON p.rep_id = nr.rep_id
+            ),
+            rdists AS (
+              SELECT query_id, rep_id, common, n1, n2,
+                     round(CASE WHEN j >= 1.0 THEN 0.0
+                                WHEN j <= 0.0 THEN 1.0
+                                ELSE least(1.0, -ln(2.0 * j / (1.0 + j)) / {TOKEN_MASH_K}.0)
+                           END, 6) AS dist
+              FROM rscored
+            ),
+            rranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist ASC, rep_id ASC) AS rank
+              FROM rdists
+            )"""
+
+
+_REPDB_CTE = _build_repdb_cte()
 
 
 # Token-edge graph CTE: 6dp-rounded Mash distances, threshold cut at TOKEN_D
@@ -1270,44 +1343,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, CAST(-1 AS BIGINT) AS cluster_id, false AS is_rep FROM noise
         """,
+        "repdb_assign": f"""
+            WITH {_REPDB_CTE},
+            hits AS (SELECT query_id, rep_id, dist FROM rranked
+                     WHERE rank = 1 AND dist <= {REPDB_ASSIGN_D})
+            SELECT d.doc_id AS query_id, h.rep_id, h.dist,
+                   (h.rep_id IS NULL) AS is_novel
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.query_id
+            WHERE d.doc_id % {REPDB_QUERY_MOD} = 0
+        """,
         "repdb_topk": f"""
-            WITH rtoks AS (
-              SELECT doc_id, source,
-                     unnest(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
-              FROM documents
-            ),
-            q AS (SELECT doc_id AS query_id, source, tok FROM rtoks
-                  WHERE doc_id % {REPDB_QUERY_MOD} = 0),
-            r AS (SELECT doc_id AS rep_id, source, tok FROM rtoks
-                  WHERE doc_id % {REPDB_QUERY_MOD} != 0),
-            nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n1 FROM q GROUP BY 1),
-            nr AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS n2 FROM r GROUP BY 1),
-            rpairs AS (
-              SELECT q.query_id, r.rep_id, CAST(count(*) AS BIGINT) AS common
-              FROM q JOIN r ON q.tok = r.tok AND q.source = r.source
-               AND q.query_id != r.rep_id
-              GROUP BY 1, 2
-            ),
-            rscored AS (
-              SELECT p.query_id, p.rep_id, p.common, nq.n1, nr.n2,
-                     p.common / CAST(nq.n1 + nr.n2 - p.common AS DOUBLE) AS j
-              FROM rpairs p
-              JOIN nq ON p.query_id = nq.query_id
-              JOIN nr ON p.rep_id = nr.rep_id
-            ),
-            rdists AS (
-              SELECT query_id, rep_id, common, n1, n2,
-                     round(CASE WHEN j >= 1.0 THEN 0.0
-                                WHEN j <= 0.0 THEN 1.0
-                                ELSE least(1.0, -ln(2.0 * j / (1.0 + j)) / {TOKEN_MASH_K}.0)
-                           END, 6) AS dist
-              FROM rscored
-            ),
-            rranked AS (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY dist ASC, rep_id ASC) AS rank
-              FROM rdists
-            )
+            WITH {_REPDB_CTE}
             SELECT query_id, rep_id, common, n1, n2, dist,
                    CAST(rank AS BIGINT) AS rank
             FROM rranked WHERE rank <= {REPDB_K}
