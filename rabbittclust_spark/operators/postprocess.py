@@ -91,18 +91,23 @@ def dedup_medoid_collapse(assignments: DataFrame, edges: DataFrame,
         .join(doc_lens.select(F.col("doc_id"), F.col("len")), "doc_id", "left")
         .withColumn("len", F.coalesce(F.col("len"), F.lit(0)))
     )
-    # rank on the 6dp-rounded score: float sums are order-dependent at the
-    # 1e-15 level across partitions/engines, and the tie-break (len, doc_id)
-    # must engage on true ties rather than summation noise
-    w = Window.partitionBy("dup_group").orderBy(
-        F.round(F.col("tot_dist"), 6).asc(), F.col("len").desc(), F.col("doc_id").asc()
+    # medoid = argmin over (6dp-rounded score, -len, doc_id) via min_by — a
+    # PARTIAL-AGGREGABLE aggregation, so a million-doc dup group is ordinary
+    # combiner work instead of a single-partition window sort (skew-free at
+    # scale).  Rounding the score first: float sums are order-dependent at
+    # the 1e-15 level across partitions/engines, and the tie-break
+    # (len desc, doc_id asc) must engage on true ties, not summation noise.
+    # The ordering struct includes doc_id, so min_by never sees ties
+    # (deterministic).
+    ord_struct = F.struct(
+        F.round(F.col("tot_dist"), 6).alias("s"),
+        (-F.col("len")).alias("nl"),
+        F.col("doc_id").alias("d"),
     )
-    ranked = scored.withColumn("_rk", F.row_number().over(w))
-    reps = ranked.where(F.col("_rk") == 1).select(
-        F.col("dup_group"), F.col("doc_id").alias("rep_id")
-    )
+    reps = scored.groupBy("dup_group").agg(
+        F.min_by(F.col("doc_id"), ord_struct).alias("rep_id"))
     return (
-        ranked.join(reps, "dup_group")
+        scored.join(reps, "dup_group")
         .select(
             "doc_id", "cluster_id", "dup_group", "rep_id",
             (F.col("doc_id") == F.col("rep_id")).alias("is_dup_rep"),
