@@ -653,6 +653,22 @@ def _q_label_propagation(spark, sf_dir):
                     F.coalesce("community", F.col("doc_id")).alias("community")))
 
 
+def _q_lpa_round1(spark, sf_dir):
+    """ONE synchronous label-propagation round of the DISTRIBUTED operator
+    (max_iter=1, driver_cutoff=0) over the token-edge graph — the
+    modularity-gain update rule is SQL-expressible without recursion, so
+    this row oracle-checks the iteration the full algorithm repeats."""
+    from rabbittclust_spark.operators.leiden import label_propagation
+
+    edges = _token_edges(spark, sf_dir)
+    comm = label_propagation(edges, resolution=1.0, max_iter=1,
+                             driver_cutoff=0)
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.join(comm, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("community", F.col("doc_id")).alias("community")))
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact-substring dedup via winnowing fingerprints (Schleimer SIGMOD'03;
     the north rule's third signature family; containment scoring per
@@ -737,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
         "label_propagation": _q_label_propagation,
+        "lpa_round1": _q_lpa_round1,
         "substring_dedup": _q_substring_dedup,
         "distinct_token_counts": _q_distinct_token_counts,
         "hll_cardinality": _q_hll_cardinality,
@@ -1282,6 +1299,41 @@ def oracle_sql() -> dict[str, str]:
             FROM dranked r JOIN dreps p ON r.dup_group = p.dup_group
         """,
         "incremental_append": _SQL_TOKEN_CLUSTERS,  # incremental MUST == batch
+        "lpa_round1": f"""
+            WITH {_TOKEN_EDGES_CTE},
+            lsym AS (
+              SELECT src AS u, dst AS v, greatest(0.0, 1.0 - dist) AS w
+              FROM tokedges
+              UNION ALL
+              SELECT dst, src, greatest(0.0, 1.0 - dist) FROM tokedges
+            ),
+            ldeg AS (SELECT u, sum(w) AS k FROM lsym GROUP BY u),
+            lm AS (SELECT sum(w) AS m2 FROM lsym),
+            lcand AS (
+              SELECT u, v AS nlabel, sum(w) AS w_ul FROM lsym GROUP BY u, v
+              UNION ALL
+              SELECT u, u AS nlabel, 0.0 AS w_ul FROM ldeg
+            ),
+            lscored AS (
+              SELECT c.u, c.nlabel,
+                     c.w_ul - 1.0 * d.k *
+                       (CASE WHEN c.nlabel = c.u THEN 0.0 ELSE dn.k END)
+                       / (SELECT m2 FROM lm) AS score
+              FROM lcand c
+              JOIN ldeg d ON c.u = d.u
+              JOIN ldeg dn ON c.nlabel = dn.u
+            ),
+            lranked AS (
+              SELECT u, nlabel,
+                     row_number() OVER (PARTITION BY u
+                          ORDER BY round(-score, 9) ASC, nlabel ASC) AS rk
+              FROM lscored
+            ),
+            lnew AS (SELECT u AS doc_id, nlabel AS community
+                     FROM lranked WHERE rk = 1)
+            SELECT d.doc_id, coalesce(n.community, d.doc_id) AS community
+            FROM documents d LEFT JOIN lnew n ON d.doc_id = n.doc_id
+        """,
         "dbscan": f"""
             WITH RECURSIVE {_TOKEN_EDGES_CTE},
             dsym AS (SELECT src AS u, dst AS v FROM tokedges
