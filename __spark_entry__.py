@@ -369,6 +369,25 @@ def _q_fracminhash_containment(spark, sf_dir):
     return build_edges(sk, cfg).orderBy("src", "dst")
 
 
+def _q_token_edge_stats(spark, sf_dir):
+    """Edge-length stats operator (src/MST.cpp:1743-1818) gated directly
+    over the token-edge graph."""
+    from rabbittclust_spark.operators.postprocess import edge_length_stats
+
+    return edge_length_stats(_token_edges(spark, sf_dir))
+
+
+def _q_token_cluster_members(spark, sf_dir):
+    """Cluster member listing with the reference's local-index column
+    (src/MST_IO.cpp:90-131): rep first, then by doc_id."""
+    from rabbittclust_spark.operators.postprocess import cluster_local_index
+
+    a = _token_assignments(spark, sf_dir)
+    return cluster_local_index(a).select(
+        "doc_id", "cluster_id", "is_rep",
+        F.col("local_idx").cast("long").alias("local_idx"))
+
+
 def _q_dedup_medoid(spark, sf_dir):
     """--dedup-dist medoid collapse (src/cluster_postprocess.cpp:60-157,
     tie-breaks :122-129) over the oracle-checked token-edge graph."""
@@ -745,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_clusters": _q_token_clusters,
         "token_cluster_stats": _q_token_cluster_stats,
         "token_containment": _q_token_containment,
+        "token_edge_stats": _q_token_edge_stats,
+        "token_cluster_members": _q_token_cluster_members,
         "dedup_medoid": _q_dedup_medoid,
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
@@ -1268,6 +1289,30 @@ def oracle_sql() -> dict[str, str]:
                                               / {TOKEN_MASH_K}.0)
                          END, 6) AS aaf_d
             FROM dists
+        """,
+        "token_edge_stats": f"""
+            WITH {_TOKEN_EDGES_CTE}
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   round(min(dist), 6) AS min_dist,
+                   round(max(dist), 6) AS max_dist,
+                   round(avg(dist), 6) AS mean_dist,
+                   round(stddev_pop(dist), 6) AS std_dist,
+                   round(quantile_cont(dist, 0.25), 6) AS q1,
+                   round(quantile_cont(dist, 0.5), 6) AS median,
+                   round(quantile_cont(dist, 0.75), 6) AS q3
+            FROM tokedges WHERE dist > 0
+        """,
+        "token_cluster_members": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            members AS (
+              SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep
+              FROM assign
+            )
+            SELECT doc_id, cluster_id, is_rep,
+                   CAST(row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY is_rep DESC, doc_id ASC) - 1 AS BIGINT)
+                     AS local_idx
+            FROM members
         """,
         "dedup_medoid": f"""
             WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
