@@ -388,6 +388,21 @@ def _q_token_cluster_members(spark, sf_dir):
         F.col("local_idx").cast("long").alias("local_idx"))
 
 
+def _q_token_k_reps(spark, sf_dir):
+    """k diverse representatives per cluster via farthest-point selection
+    (src/cluster_postprocess.cpp:184-327), k=2: rep0 = min doc, rep1 =
+    member maximizing its distance to rep0 (missing pair distance = 1.0,
+    ties -> smaller doc_id) — exactly the operator's greedy step, which is
+    SQL-expressible at k=2."""
+    from rabbittclust_spark.operators.postprocess import k_reps_per_cluster
+
+    edges = _token_edges(spark, sf_dir)
+    a = _token_assignments(spark, sf_dir, edges)
+    out = k_reps_per_cluster(a, edges, k=2)
+    return out.select("cluster_id", "rep_id",
+                      F.col("rep_rank").cast("long").alias("rep_rank"))
+
+
 def _q_dedup_medoid(spark, sf_dir):
     """--dedup-dist medoid collapse (src/cluster_postprocess.cpp:60-157,
     tie-breaks :122-129) over the oracle-checked token-edge graph."""
@@ -766,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_containment": _q_token_containment,
         "token_edge_stats": _q_token_edge_stats,
         "token_cluster_members": _q_token_cluster_members,
+        "token_k_reps": _q_token_k_reps,
         "dedup_medoid": _q_dedup_medoid,
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
@@ -1313,6 +1329,31 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY is_rep DESC, doc_id ASC) - 1 AS BIGINT)
                      AS local_idx
             FROM members
+        """,
+        "token_k_reps": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            rep0 AS (SELECT cluster_id, min(doc_id) AS rep_id FROM assign
+                     GROUP BY 1),
+            ksym AS (SELECT src AS a, dst AS b, dist FROM tokedges
+                     UNION ALL SELECT dst, src, dist FROM tokedges),
+            kcand AS (
+              SELECT m.cluster_id, m.doc_id AS cand,
+                     coalesce(s.dist, 1.0) AS d
+              FROM assign m
+              JOIN rep0 r ON m.cluster_id = r.cluster_id
+              LEFT JOIN ksym s ON s.a = m.doc_id AND s.b = r.rep_id
+              WHERE m.doc_id != r.rep_id
+            ),
+            kranked AS (
+              SELECT cluster_id, cand,
+                     row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY d DESC, cand ASC) AS rk
+              FROM kcand
+            )
+            SELECT cluster_id, rep_id, CAST(0 AS BIGINT) AS rep_rank FROM rep0
+            UNION ALL
+            SELECT cluster_id, cand AS rep_id, CAST(1 AS BIGINT) AS rep_rank
+            FROM kranked WHERE rk = 1
         """,
         "dedup_medoid": f"""
             WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
