@@ -155,26 +155,32 @@ def _token_postings(spark, sf_dir):
     )
 
 
-def _token_pairs(spark, sf_dir):
-    """Distinct-token inverted-index pair counts blocked by source — the
-    SQL-expressible twin of pair_counts_index (src/MST.cpp:399-575)."""
-    toks = _token_postings(spark, sf_dir)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = toks.alias("a"), toks.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) &
+def _posting_pair_counts(postings, key_col: str, min_common: int):
+    """(doc_id, source, <key_col>) DISTINCT posting rows ->
+    (src, dst, n1, n2, common): the source-blocked inverted-index self-join +
+    per-doc sizes shared by every token sketch twin (the SQL-expressible
+    shape of pair_counts_index, src/MST.cpp:399-575)."""
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(b, (F.col(f"a.{key_col}") == F.col(f"b.{key_col}")) &
                (F.col("a.source") == F.col("b.source")))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .agg(F.count("*").alias("common"))
-        .where(F.col("common") >= TOKEN_MIN_COMMON)
-    )
-    return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "src")
-                        .withColumnRenamed("n", "n1"), "src")
+        .where(F.col("common") >= min_common)
+        .join(sizes.withColumnRenamed("doc_id", "src")
+                   .withColumnRenamed("n", "n1"), "src")
         .join(sizes.withColumnRenamed("doc_id", "dst")
                    .withColumnRenamed("n", "n2"), "dst")
     )
+
+
+def _token_pairs(spark, sf_dir):
+    """Distinct-token inverted-index pair counts blocked by source — the
+    SQL-expressible twin of pair_counts_index (src/MST.cpp:399-575)."""
+    return _posting_pair_counts(_token_postings(spark, sf_dir), "tok",
+                                TOKEN_MIN_COMMON)
 
 
 def _token_edges(spark, sf_dir):
@@ -571,20 +577,7 @@ def _q_token_minhash_mash(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy("h")
     sk = (h.withColumn("_rk", F.row_number().over(w))
           .where(F.col("_rk") <= TOKEN_MINHASH_S).drop("_rk"))
-    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sk.alias("a"), sk.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) &
-               (F.col("a.source") == F.col("b.source")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("common"))
-        .where(F.col("common") >= TOKEN_MINHASH_MIN_COMMON)
-        .join(sizes.withColumnRenamed("doc_id", "src")
-                   .withColumnRenamed("n", "n1"), "src")
-        .join(sizes.withColumnRenamed("doc_id", "dst")
-                   .withColumnRenamed("n", "n2"), "dst")
-    )
+    pairs = _posting_pair_counts(sk, "h", TOKEN_MINHASH_MIN_COMMON)
     from rabbittclust_spark.functions.distances import jaccard_expr, mash_distance_expr
     j = jaccard_expr(F.col("common"), F.col("n1"), F.col("n2"))
     d = mash_distance_expr(j, TOKEN_MASH_K)
@@ -602,20 +595,7 @@ def _q_token_fracminhash(spark, sf_dir):
     toks = _token_postings(spark, sf_dir)
     sk = toks.select("doc_id", "source", F.md5("tok").alias("h")) \
         .where(F.substring("h", 1, 1) == TOKEN_FRAC_PREFIX)
-    sizes = sk.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sk.alias("a"), sk.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) &
-               (F.col("a.source") == F.col("b.source")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("common"))
-        .where(F.col("common") >= 2)
-        .join(sizes.withColumnRenamed("doc_id", "src")
-                   .withColumnRenamed("n", "n1"), "src")
-        .join(sizes.withColumnRenamed("doc_id", "dst")
-                   .withColumnRenamed("n", "n2"), "dst")
-    )
+    pairs = _posting_pair_counts(sk, "h", 2)
     from rabbittclust_spark.functions.distances import containment_distance_expr
     c = F.col("common") / F.least("n1", "n2")
     d = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
@@ -650,20 +630,8 @@ def _q_token_winnow(spark, sf_dir):
            .join(cnt, "doc_id")
            .where(F.col("pos") <= F.col("cnt") - TOKEN_WINNOW_W)
            .select("doc_id", "source", "fp").distinct())
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a, b = fps.alias("a"), fps.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) &
-               (F.col("a.source") == F.col("b.source")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("shared"))
-        .where(F.col("shared") >= TOKEN_WINNOW_MIN_SHARED)
-        .join(sizes.withColumnRenamed("doc_id", "src")
-                   .withColumnRenamed("n_fp", "n1"), "src")
-        .join(sizes.withColumnRenamed("doc_id", "dst")
-                   .withColumnRenamed("n_fp", "n2"), "dst")
-    )
+    pairs = _posting_pair_counts(fps, "fp", TOKEN_WINNOW_MIN_SHARED) \
+        .withColumnRenamed("common", "shared")
     c = F.col("shared") / F.least("n1", "n2")
     return (pairs.where(c >= TOKEN_WINNOW_MIN_CONTAIN)
             .select("src", "dst", F.col("n1").cast("long").alias("n1"),
@@ -910,13 +878,11 @@ def _sql_embedding_neardup_lsh() -> str:
     """
 
 
-# RepDB probe CTE chain (shared by repdb_topk / repdb_assign): token
-# postings, query/rep split, exact intersection counts via the posting
-# equi-join, Mash distance (6dp-rounded before ranking), per-query ranking.
-_REPDB_CTE = None  # assigned below once constants exist
-
-
 def _build_repdb_cte() -> str:
+    """RepDB probe CTE chain (shared by repdb_topk / repdb_assign): token
+    postings, query/rep split, exact intersection counts via the posting
+    equi-join, Mash distance (6dp-rounded before ranking), per-query
+    ranking."""
     return f"""rtoks AS (
               SELECT doc_id, source,
                      unnest(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok

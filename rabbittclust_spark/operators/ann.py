@@ -53,6 +53,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return out.select("query_id", "neighbor_id", "cos", "rank")
 
 
+def _verify_cosine(cand: DataFrame, e: DataFrame, tau: float,
+                   round_dp: int | None) -> DataFrame:
+    """(src, dst) candidates -> (src, dst, cos) with cos >= tau: join the
+    vectors back and score with the JVM-side cosine fold (shared verify tail
+    of every bucketed candidate path)."""
+    joined = (cand
+              .join(e.select(F.col("vec_id").alias("src"),
+                             F.col("vec").alias("va")), "src")
+              .join(e.select(F.col("vec_id").alias("dst"),
+                             F.col("vec").alias("vb")), "dst"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    out = joined.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             use_lsh: bool = False, num_planes: int = 16,
@@ -74,15 +91,11 @@ def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95,
                 .where(F.col("a.vec_id") < F.col("b.vec_id"))
                 .select(F.col("a.vec_id").alias("src"),
                         F.col("b.vec_id").alias("dst"))
-                .distinct()
-                .join(e.select(F.col("vec_id").alias("src"),
-                               F.col("vec").alias("va")), "src")
-                .join(e.select(F.col("vec_id").alias("dst"),
-                               F.col("vec").alias("vb")), "dst"))
-    else:
-        a = e.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
-        b = e.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
-        cand = a.join(b, F.col("src") < F.col("dst"))
+                .distinct())
+        return _verify_cosine(cand, e, tau, round_dp)
+    a = e.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
+    cand = a.join(b, F.col("src") < F.col("dst"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     out = cand.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
     if round_dp is not None:
@@ -163,16 +176,8 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("src"),
                     F.col("b.vec_id").alias("dst"))
-            .distinct()
-            .join(e.select(F.col("vec_id").alias("src"),
-                           F.col("vec").alias("va")), "src")
-            .join(e.select(F.col("vec_id").alias("dst"),
-                           F.col("vec").alias("vb")), "dst"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
-    out = cand.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
-    if round_dp is not None:
-        out = out.withColumn("cos", F.round("cos", round_dp))
-    return out
+            .distinct())
+    return _verify_cosine(cand, e, tau, round_dp)
 
 
 def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,

@@ -154,14 +154,12 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             F.coalesce(F.sum(F.xxhash64("u", "label").cast("decimal(38,0)")),
                        F.lit(0).cast("decimal(38,0)")).alias("s")).collect()[0]
         fp = (int(fp_row["c"]), int(fp_row["s"]))
-        if seen_fps and fp == seen_fps[-1]:
-            labels = new_labels
-            break
-        if fp in seen_fps:  # oscillation (period > 1): stop deterministically
-            labels = new_labels
+        labels = new_labels
+        if fp in seen_fps:
+            # converged (fp == previous) or oscillating (fp == any earlier):
+            # stop deterministically either way
             break
         seen_fps.append(fp)
-        labels = new_labels
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("label").alias("community"))
 
@@ -211,12 +209,8 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
                     best = cand
             new[u] = best[1]
         fp = tuple(sorted(new.items()))
-        if seen and fp == seen[-1]:
-            labels = new
-            break
-        if fp in seen:
-            labels = new
+        labels = new
+        if fp in seen:  # converged or oscillating — same rule as Spark side
             break
         seen.append(fp)
-        labels = new
     return labels

@@ -78,27 +78,25 @@ def cleanup_materialized() -> None:
     _MATERIALIZE_DIRS.clear()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def materialize_scope():
     """Context manager: temp-parquet dirs created by :func:`materialize`
     INSIDE the scope are deleted on exit.  For long-lived drivers (e.g. the
     streaming sink's per-batch work) at points where no frame materialized
     inside the scope will be read again; dirs created before the scope are
     untouched."""
-    import contextlib
+    import shutil
 
-    @contextlib.contextmanager
-    def _scope():
-        mark = len(_MATERIALIZE_DIRS)
-        try:
-            yield
-        finally:
-            import shutil
-
-            for d in _MATERIALIZE_DIRS[mark:]:
-                shutil.rmtree(d, ignore_errors=True)
-            del _MATERIALIZE_DIRS[mark:]
-
-    return _scope()
+    mark = len(_MATERIALIZE_DIRS)
+    try:
+        yield
+    finally:
+        for d in _MATERIALIZE_DIRS[mark:]:
+            shutil.rmtree(d, ignore_errors=True)
+        del _MATERIALIZE_DIRS[mark:]
 
 
 def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
