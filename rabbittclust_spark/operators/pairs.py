@@ -187,13 +187,30 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # table is also what the checkpointed pipeline does anyway.
     from rabbittclust_spark.sources.tables import materialize
     cand = materialize(cand, "cand")
-    # shuffle_hash hints on BOTH sides: never sort-merge or broadcast rows
-    # carrying the (large) sig arrays — SMJ would sort ~8KB payload rows and
-    # AQE must not broadcast the array-carrying intermediate of the first
-    # join (observed: that choice stalls the plan); SHJ streams the wide
-    # side and builds on the per-partition slice of the sketch table.
+    joined = verify_join(cand, sketches)
+    # barrier AFTER computing `common`: project-collapse would otherwise
+    # inline the array_intersect expression into every downstream reference
+    # (jaccard, distance, filters) — observed ~20x re-evaluation per row.
+    # Behind the barrier it is a scalar column evaluated exactly once.
+    joined = materialize(joined, "pair_counts")
+    return joined.where(
+        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
+    )
+
+
+def verify_join(cand: DataFrame, sketches: DataFrame) -> DataFrame:
+    """(src, dst) candidates x sketches -> (src, dst, n1, n2, common) with
+    the EXACT sketch intersection (src/greedy.cpp:39-67 merge intersection,
+    as JVM array_intersect).
+
+    shuffle_hash hints on BOTH sides: never sort-merge or broadcast rows
+    carrying the (large) sig arrays — SMJ would sort ~8KB payload rows and
+    AQE must not broadcast the array-carrying intermediate of the first
+    join (observed: that choice stalls the plan); SHJ streams the wide side
+    and builds on the per-partition slice of the sketch table.  The plan
+    shape is asserted in tests/test_plans.py against THIS function."""
     s = sketches.select("doc_id", "n", "sig").hint("shuffle_hash")
-    joined = (
+    return (
         cand.hint("shuffle_hash")
         .join(s.withColumnRenamed("doc_id", "src")
                .withColumnRenamed("n", "n1")
@@ -204,14 +221,6 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
                .withColumnRenamed("sig", "sig2"), "dst")
         .select("src", "dst", "n1", "n2",
                 F.size(F.array_intersect("sig1", "sig2")).alias("common"))
-    )
-    # barrier AFTER computing `common`: project-collapse would otherwise
-    # inline the array_intersect expression into every downstream reference
-    # (jaccard, distance, filters) — observed ~20x re-evaluation per row.
-    # Behind the barrier it is a scalar column evaluated exactly once.
-    joined = materialize(joined, "pair_counts")
-    return joined.where(
-        F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )
 
 
@@ -242,20 +251,8 @@ def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
     (src, dst, n1, n2, common) via JVM array_intersect
     (reference merge-intersection, src/greedy.cpp:39-67,73-99)."""
     cand = candidate_pairs_banded(bands, cfg)
-    s = sketches.select("doc_id", "n", "sig")
-    joined = (
-        cand.join(s.withColumnRenamed("doc_id", "src")
-                   .withColumnRenamed("n", "n1")
-                   .withColumnRenamed("sig", "sig1"), "src")
-        .join(s.withColumnRenamed("doc_id", "dst")
-               .withColumnRenamed("n", "n2")
-               .withColumnRenamed("sig", "sig2"), "dst")
-        .where(size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
-        .select(
-            "src", "dst", "n1", "n2",
-            F.size(F.array_intersect("sig1", "sig2")).alias("common"),
-        )
-    )
+    joined = verify_join(cand, sketches).where(
+        size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
     from rabbittclust_spark.sources.tables import materialize
     joined = materialize(joined, "pair_counts")  # see pair_counts_probe
     return joined.where(

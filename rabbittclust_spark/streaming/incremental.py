@@ -67,17 +67,9 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
                               "dst", "left_semi"))
                 .distinct())
         cand = cand.union(star).distinct()
-    s = all_sk.select("doc_id", "n", "sig").hint("shuffle_hash")
-    joined = (
-        cand.join(s.withColumnRenamed("doc_id", "src")
-                   .withColumnRenamed("n", "n1")
-                   .withColumnRenamed("sig", "sig1"), "src")
-        .join(s.withColumnRenamed("doc_id", "dst")
-               .withColumnRenamed("n", "n2")
-               .withColumnRenamed("sig", "sig2"), "dst")
-        .select("src", "dst", "n1", "n2",
-                F.size(F.array_intersect("sig1", "sig2")).alias("common"))
-    )
+    from rabbittclust_spark.operators.pairs import verify_join
+
+    joined = verify_join(cand, all_sk)
     # barrier after computing `common` — prevents project-collapse from
     # inlining array_intersect into every downstream distance/filter
     # reference (see operators/pairs.pair_counts_probe)

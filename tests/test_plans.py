@@ -62,8 +62,9 @@ def test_verify_join_is_shuffle_hash(spark, docs):
     """The sketch-carrying verify join must be a shuffled hash join — never
     an SMJ (sorting ~8KB array rows) or a broadcast of the wide side.
     pair_counts_probe returns a post-barrier scan, so this asserts on the
-    same join construction it materializes (hints + array_intersect)."""
+    ACTUAL pairs.verify_join it materializes."""
     from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.pairs import verify_join
     from rabbittclust_spark.operators.sketch import sketch_minhash
     from rabbittclust_spark.sources.tables import materialize
 
@@ -73,18 +74,6 @@ def test_verify_join_is_shuffle_hash(spark, docs):
         sk.select(F.col("doc_id").alias("src"))
         .join(sk.select(F.col("doc_id").alias("dst")),
               F.col("src") < F.col("dst")).limit(50), "plan_cand")
-    s = sk.select("doc_id", "n", "sig").hint("shuffle_hash")
-    joined = (
-        cand.hint("shuffle_hash")
-        .join(s.withColumnRenamed("doc_id", "src")
-               .withColumnRenamed("n", "n1")
-               .withColumnRenamed("sig", "sig1"), "src")
-        .hint("shuffle_hash")
-        .join(s.withColumnRenamed("doc_id", "dst")
-               .withColumnRenamed("n", "n2")
-               .withColumnRenamed("sig", "sig2"), "dst")
-        .select("src", "dst",
-                F.size(F.array_intersect("sig1", "sig2")).alias("common")))
-    plan = _plan(joined)
+    plan = _plan(verify_join(cand, sk))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
