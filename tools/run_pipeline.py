@@ -67,6 +67,9 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
+    # only stop a session this entry point created (a host process — e.g.
+    # the test harness — keeps its own)
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("rabbittclust-dedup").getOrCreate()
     cfg = _build_cfg(args)
 
@@ -91,7 +94,8 @@ def main() -> None:
             path = os.path.join(args.output, "assign")
         out.write.mode("overwrite").parquet(path)
         print(f"{out.count()} rows -> {path}")
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return
 
     if args.append:
@@ -113,7 +117,8 @@ def main() -> None:
                 os.path.join(args.output, name + "_appended"))
         n = out["assignments"].count()
         print(f"appended: {n} total docs -> {args.output}/*_appended")
-        spark.stop()
+        if owns_session:
+            spark.stop()
         return
 
     pipe = DedupPipeline(spark, cfg, args.output)
@@ -131,7 +136,8 @@ def main() -> None:
     extras = [k for k in ("dedup_groups", "reps") if k in out]
     print(f"assignments: {n} docs in {clusters} clusters -> {args.output}"
           + (f" (+ {', '.join(extras)})" if extras else ""))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":
