@@ -8,6 +8,13 @@ parquet directories under ``state_root`` with a JSON pointer — each batch
 reads version v, writes v+1, then atomically updates the pointer, so a
 mid-batch crash never corrupts state and the stream checkpoint replays the
 batch idempotently (same input -> same v+1 content).
+
+``state_root`` and ``checkpoint_dir`` are a PAIR: the replay guard compares
+Structured Streaming's per-checkpoint monotonic batch_id with the one
+recorded in the state pointer.  Deleting the checkpoint while keeping the
+state (or vice versa) desynchronizes them — a fresh checkpoint restarts
+batch ids at 0, which the guard would treat as already-applied replays.
+Reset both together, or neither.
 """
 
 from __future__ import annotations
