@@ -164,6 +164,16 @@ def query_topk_postings(rep_postings: DataFrame, query_postings: DataFrame,
         dist = F.round(dist, round_dp)
     scored = pairs.select("query_id", "rep_id", "common", "n1", "n2",
                           dist.alias("dist"))
+    if k == 1:
+        # argmin via min_by: partial-aggregable, so a query matching millions
+        # of reps is combiner work, not a single-partition window sort; the
+        # ordering struct includes rep_id, so it is tie-free/deterministic
+        # and identical to the window's (dist asc, rep_id asc) rank-1 row
+        val = F.struct("rep_id", "common", "n1", "n2", "dist")
+        ord_ = F.struct(F.col("dist").alias("d"), F.col("rep_id").alias("r"))
+        best = scored.groupBy("query_id").agg(F.min_by(val, ord_).alias("b"))
+        return best.select("query_id", "b.rep_id", "b.common", "b.n1",
+                           "b.n2", "b.dist", F.lit(1).alias("rank"))
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
                                                F.col("rep_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
