@@ -21,9 +21,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_for_quiet(threshold: float = 2.0, max_wait: int = 120) -> None:
+    """Bounded load gate: the sandbox host shows intermittent external CPU
+    load that would otherwise pollute wall-clock timings (observed 7.2-9.2s
+    flagship band at load 0-4).  Caps at max_wait so the driver's budget is
+    never blown."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait and os.getloadavg()[0] >= threshold:
+        time.sleep(5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _wait_for_quiet()
 
     from rabbittclust_spark.session import get_spark
 
