@@ -180,6 +180,50 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
     return _verify_cosine(cand, e, tau, round_dp)
 
 
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             dim: int | None = None, num_planes: int = 4,
+             num_tables: int = 8, seed: int = 7, multiprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_dp: int | None = 6) -> DataFrame:
+    """Approximate cosine top-k via sparse-SRP buckets — the scale path for
+    brute_force_topk: queries probe (multiprobe) bucket keys against the
+    corpus's exact keys, only within-bucket candidates are scored, then a
+    per-query ranking window.  Returns (query_id, neighbor_id, cos, rank);
+    neighbors sharing no bucket are unreachable (the LSH trade-off — top-1
+    recall on high-similarity neighbors is tested in tests/test_ann.py)."""
+    c = _prep(corpus, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col)
+    if dim is None:
+        row = c.select(F.size("vec").alias("d")).first()
+        if row is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rank int")
+        dim = row["d"]
+    keys_c = sparse_srp_bucket_keys(c, dim, num_planes=num_planes,
+                                    num_tables=num_tables, seed=seed)
+    keys_q = sparse_srp_bucket_keys(q, dim, num_planes=num_planes,
+                                    num_tables=num_tables, seed=seed,
+                                    multiprobe=multiprobe) \
+        .withColumnRenamed("vec_id", "query_id")
+    cand = (keys_q.join(keys_c, "bucket")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+            .join(q.select(F.col("vec_id").alias("query_id"),
+                           F.col("vec").alias("qvec")), "query_id")
+            .join(c.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("vec").alias("nvec")), "neighbor_id"))
+    cos = cosine_expr(F.col("nvec"), F.col("qvec"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
 def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,
                     num_tables: int = 4, seed: int = 7) -> DataFrame:
     """Sign-random-projection bucket keys: (vec_id, bucket) — num_tables rows

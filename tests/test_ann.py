@@ -150,3 +150,43 @@ def test_sparse_srp_multiprobe_lifts_recall(spark):
                                              multiprobe=4).collect()}
     assert exact <= probed <= truth
     assert len(probed & truth) > len(exact & truth)
+
+
+def test_lsh_topk_recall_on_near_neighbors(spark):
+    """LSH top-k must find the planted high-similarity nearest neighbor for
+    >= 99% of queries (the regime the scale path serves) and never return a
+    wrong cosine or >k rows."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.operators.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(31)
+    dim = 64
+    rows = []
+    vid = 0
+    pairs = []
+    for _ in range(50):
+        v = rng.standard_normal(dim)
+        w = v + 0.05 * rng.standard_normal(dim)  # cos ~0.999
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in w]))
+        pairs.append((vid, vid + 1))
+        vid += 2
+    for _ in range(150):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") % 2 == 0).where(F.col("vec_id") < 100)
+
+    got = lsh_topk(df, queries, k=3, round_dp=None)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    hits = sum(1 for q, n in pairs if (1, n) in by_q.get(q, []))
+    assert hits >= int(0.99 * len(pairs)), hits
+    assert all(len(v) <= 3 for v in by_q.values())
+
+    # returned cosines agree with brute force for the same (q, n) pairs
+    bf = {(r.query_id, r.neighbor_id): r.cos
+          for r in brute_force_topk(df, queries, k=50, round_dp=None).collect()}
+    for r in got.collect():
+        assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
