@@ -24,6 +24,10 @@ class PipelineConfig:
     shingle_k: int = 21           # char k-shingle width  (ref kmerSize=21)
     sketch_size: int = 1000       # bottom-s sketch size  (ref sketchSize=1000)
     containment: bool = False     # AAF/containment mode  (ref -c path)
+    containment_variant: str = "aaf"  # distance form in containment mode:
+                                  # "aaf" = -(1/k)*ln(c)  (src/MST.cpp:529-540)
+                                  # "greedy" = -(1/k)*ln(2c/(1+c))
+                                  #   (src/greedy.cpp:1245-1259, 2771-2788)
     contain_compress: int = 1000  # sketch size = len/contain_compress, min 100
     min_sketch_size: int = 100    # ref SketchInfo.cpp:705 (max(..., 100))
     lowercase: bool = False       # optional normalization before shingling
@@ -46,8 +50,16 @@ class PipelineConfig:
                                   # at the d=0.05 boundary (J=0.212) that is
                                   # 4.9e-4 — inside the recall>=0.99 budget
                                   # with 31x smaller postings than full-sig
-    max_posting: int | None = None  # cap posting-list length (ref --max-posting,
-                                    # src/dbscan.cpp:95-220). None = unlimited.
+    max_posting: int | None = 20_000  # cap posting-list length (ref
+                                    # --max-posting, src/dbscan.cpp:95-220).
+                                    # Finite BY DEFAULT: a boilerplate near-dup
+                                    # group of p docs sharing bottom-B hashes
+                                    # otherwise yields O(p^2) candidates from a
+                                    # single key at web scale; with the default
+                                    # hot_hash_mode="star" hot keys escalate to
+                                    # O(p) anchor candidates with zero recall
+                                    # loss for mutual near-dup groups
+                                    # (tests/test_hot_keys.py). None = unlimited.
     hot_hash_mode: str = "star"   # what happens to postings above max_posting:
                                   # "star" = escalate via anchor-star candidate
                                   # pairs (min-doc anchor linked to every other
@@ -89,6 +101,10 @@ class PipelineConfig:
                 f"pair_mode must be 'index', 'probe', or 'banded', got {self.pair_mode!r}")
         if self.perm_count % self.rows_per_band != 0:
             raise ValueError("perm_count must be divisible by rows_per_band")
+        if self.containment_variant not in ("aaf", "greedy"):
+            raise ValueError(
+                f"containment_variant must be 'aaf' or 'greedy', "
+                f"got {self.containment_variant!r}")
         if self.hot_hash_mode not in ("star", "drop"):
             raise ValueError(
                 f"hot_hash_mode must be 'star' or 'drop', got {self.hot_hash_mode!r}")

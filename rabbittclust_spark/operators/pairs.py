@@ -12,7 +12,11 @@ reference order: size-ratio before the aggregate consumer
 (src/greedy.cpp:649-653).  Hot-hash skew is handled by the --max-posting
 analog (src/dbscan.cpp:95-220) with logged counts; in probe/banded modes hot
 keys can additionally be ESCALATED via anchor-star candidates instead of
-dropped (cfg.hot_hash_mode, see _apply_posting_cap) — no silent recall loss.
+dropped (cfg.hot_hash_mode, see _apply_posting_cap).  Star recovery relies on
+CC transitivity through the anchor: it is lossless for hot groups whose
+members are mutual near-dups of the anchor (the boilerplate case the cap
+exists for); a pair sharing ONLY hot hashes whose members both fail exact
+verification against the anchor is still lost, exactly like drop mode.
 
 **banded** (scale path): join on LSH band keys from the k-permutation
 signature — O(candidate pairs) instead of O(sum posting^2) — then verify each
@@ -34,6 +38,7 @@ from rabbittclust_spark.config import PipelineConfig
 from rabbittclust_spark.functions.distances import (
     common_lower_bound_expr,
     containment_distance_expr,
+    greedy_containment_distance_expr,
     jaccard_expr,
     mash_distance_expr,
     size_ratio_pred,
@@ -58,7 +63,9 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     groups of true near-duplicates the anchor links verify and connected
     components recovers the full group (no recall loss; tested with a
     hot-key fixture), versus drop mode's silent loss of pairs that only
-    share capped hashes.
+    share capped hashes.  Caveat (see module docstring): a hot-only pair
+    whose members are NOT both near-dups of the anchor stays lost — the
+    guarantee covers mutual near-dup groups, not arbitrary hot pairs.
 
     Returns (cold_postings, star_candidates(src, dst) | None).
     """
@@ -74,9 +81,11 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     row = hot.agg(F.count("*").alias("k"),
                   F.coalesce(F.sum("_pl"), F.lit(0)).alias("p")).collect()[0]
     n_hot, n_post = int(row["k"]), int(row["p"])
-    cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
     if n_hot == 0:
-        return cold, None
+        # common case: nothing hot — skip the anti-join entirely so the
+        # default finite cap costs one count job and nothing in the plan
+        return postings, None
+    cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
     star_mode = allow_star and cfg.hot_hash_mode == "star"
     _LOG.warning(
         "max_posting=%d [%s]: %d hot keys covering %d postings %s",
@@ -268,8 +277,14 @@ def edges_from_pair_counts(pairs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     j = jaccard_expr(F.col("common"), F.col("n1"), F.col("n2"))
     if cfg.containment:
-        dist = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
-                                         cfg.distance_k)
+        if cfg.containment_variant == "greedy":
+            # greedy-path variant: Mash transform of the containment ratio
+            # (src/greedy.cpp:1245-1259, 2771-2788)
+            dist = greedy_containment_distance_expr(
+                F.col("common"), F.col("n1"), F.col("n2"), cfg.distance_k)
+        else:
+            dist = containment_distance_expr(
+                F.col("common"), F.col("n1"), F.col("n2"), cfg.distance_k)
     else:
         dist = mash_distance_expr(j, cfg.distance_k)
     return (
