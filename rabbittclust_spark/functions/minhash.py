@@ -66,6 +66,14 @@ def kperm_signature(text: str, k: int, num_perm: int, perm_seed: int,
     all-max signature.
     """
     h = shingle_hashes(text, k, seed=hash_seed, lowercase=lowercase)
+    return kperm_signature_from_hashes(h, num_perm, perm_seed)
+
+
+def kperm_signature_from_hashes(h: np.ndarray, num_perm: int,
+                                perm_seed: int) -> np.ndarray:
+    """:func:`kperm_signature` over precomputed shingle hashes — lets the
+    fused sketch kernel share one shingling pass between the bottom-s sketch
+    and the banded signature (bit-identical to the text entry point)."""
     a, b = _perm_params(num_perm, perm_seed)
     if len(h) == 0:
         return np.full(num_perm, np.iinfo(np.uint64).max, dtype=_U64)
@@ -200,6 +208,15 @@ def mash_distance(j: float, k: int) -> float:
         return 1.0
     import math
     return min(1.0, -math.log(2.0 * j / (1.0 + j)) / k)
+
+
+def greedy_containment_distance(common: int, n1: int, n2: int, k: int) -> float:
+    """Greedy-path containment variant D = -(1/k)*ln(2c/(1+c)),
+    c = common/min(n1,n2) (src/greedy.cpp:1245-1259, 2771-2788)."""
+    m = min(n1, n2)
+    if m <= 0:
+        return 1.0
+    return mash_distance(common / m, k)
 
 
 def containment_distance(common: int, n1: int, n2: int, k: int) -> float:

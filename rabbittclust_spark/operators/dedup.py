@@ -21,7 +21,11 @@ from rabbittclust_spark.functions.simhash import simhash_block_exprs
 from rabbittclust_spark.operators.components import connected_components
 from rabbittclust_spark.operators.pairs import build_edges
 from rabbittclust_spark.operators.postprocess import assignments_from_components
-from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash, sketch_simhash
+from rabbittclust_spark.operators.sketch import (
+    sketch_minhash,
+    sketch_minhash_bands,
+    sketch_simhash,
+)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -79,10 +83,19 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
         exact = base.select("doc_id", F.col("doc_id").alias("canonical_id"))
         canon_docs = base
 
-    sketches = sketch_minhash(canon_docs, cfg)
-    if materialize:
-        sketches = _mat(sketches, "sketches")
-    bands = sketch_bands(canon_docs, cfg) if cfg.pair_mode == "banded" else None
+    if cfg.pair_mode == "banded":
+        # fused kernel: ONE shingling pass produces both the bottom-s sketch
+        # and the band keys (two separate passes re-shingled every doc twice)
+        fused = sketch_minhash_bands(canon_docs, cfg)
+        if materialize:
+            fused = _mat(fused, "sketches")
+        sketches = fused.select("doc_id", "len", "n", "sig")
+        bands = fused.select("doc_id", "band_keys")
+    else:
+        sketches = sketch_minhash(canon_docs, cfg)
+        if materialize:
+            sketches = _mat(sketches, "sketches")
+        bands = None
     edges = build_edges(sketches, cfg, bands=bands)
     if materialize:
         edges = _mat(edges, "edges")

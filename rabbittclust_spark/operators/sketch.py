@@ -151,6 +151,53 @@ def sketch_bands(df: DataFrame, cfg: PipelineConfig,
     return prepared.mapInPandas(compute, schema="doc_id long, band_keys array<long>")
 
 
+def sketch_minhash_bands(df: DataFrame, cfg: PipelineConfig,
+                         id_col: str = "doc_id", text_col: str = "text"
+                         ) -> DataFrame:
+    """Fused banded-mode sketch: ONE text/shingling pass emitting both the
+    bottom-s sketch and the banded-LSH keys —
+    (doc_id, len, n, sig array<long>, band_keys array<long>).
+
+    Banded mode previously ran :func:`sketch_minhash` and
+    :func:`sketch_bands` as two separate mapInPandas passes, re-shingling
+    every document twice; sharing the shingle-hash array halves the
+    sketch-stage cost.  Bit-identical to the two separate operators
+    (tests/test_minhash.py::test_fused_banded_sketch_parity).
+    """
+    from rabbittclust_spark.functions.hashing import shingle_hashes
+    from rabbittclust_spark.functions.minhash import kperm_signature_from_hashes
+
+    k, s, seed, lower = cfg.shingle_k, cfg.sketch_size, cfg.hash_seed, cfg.lowercase
+    containment, ccomp, minsz = cfg.containment, cfg.contain_compress, cfg.min_sketch_size
+    p, r, pseed = cfg.perm_count, cfg.rows_per_band, cfg.perm_seed
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, ns, sigs, keys = [], [], [], []
+            for t in pdf["text"].tolist():
+                t = t if isinstance(t, str) else ""
+                h = shingle_hashes(t, k, seed=seed, lowercase=lower)
+                size = (containment_sketch_size(len(t), ccomp, minsz)
+                        if containment else s)
+                sig = h[:size] if len(h) > size else h  # sorted => bottom-s
+                ksig = kperm_signature_from_hashes(h, p, pseed)
+                lens.append(len(t))
+                ns.append(len(sig))
+                sigs.append(_as_long_list(sig))
+                keys.append(_as_long_list(band_hashes(ksig, r)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "len": lens, "n": ns, "sig": sigs,
+                                "band_keys": keys})
+
+    prepared = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"),
+                  F.col(text_col).alias("text"))
+        .filter(F.length(F.col("text")) >= cfg.min_len)
+    )
+    return prepared.mapInPandas(
+        compute, schema=_SKETCH_SCHEMA + ", band_keys array<long>")
+
+
 def sketch_wminhash(df: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Weighted MinHash (ICWS) signatures over shingle COUNTS — the

@@ -42,7 +42,7 @@ from rabbittclust_spark.operators.postprocess import (
     dedup_medoid_collapse,
     k_reps_per_cluster,
 )
-from rabbittclust_spark.operators.sketch import sketch_bands, sketch_minhash
+from rabbittclust_spark.operators.sketch import sketch_minhash, sketch_minhash_bands
 
 _MANIFEST = "_manifest.json"
 
@@ -76,12 +76,16 @@ class DedupPipeline:
         # resume=True never returns stale stage outputs after the source
         # dataset changed — root-stage manifests would otherwise match on
         # config hash alone.
+        # hash the content column AS-IS (xxhash64 accepts binary): casting
+        # binary html to string would be a lossy UTF-8 reinterpretation —
+        # two different payloads with invalid byte sequences could
+        # fingerprint identically and serve stale stage outputs on resume
         content_col = html_col if html_col is not None else text_col
         fp_row = docs.agg(
             F.count("*").alias("c"),
             F.coalesce(
                 F.sum(F.xxhash64(F.col(id_col).cast("string"),
-                                 F.col(content_col).cast("string"))
+                                 F.col(content_col))
                       .cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
@@ -109,6 +113,10 @@ class DedupPipeline:
             canon = base.join(
                 out["exact_groups"].where(F.col("doc_id") == F.col("canonical_id"))
                 .select("doc_id"), "doc_id") if self.cfg.exact_prededup else base
+            if self.cfg.pair_mode == "banded":
+                # fused single-pass sketch: the stage table carries band_keys
+                # alongside the bottom-s sig so _edges never re-shingles
+                return sketch_minhash_bands(canon, self.cfg)
             return sketch_minhash(canon, self.cfg)
 
         out["sketches"] = self._stage("sketches", deps + ["exact_groups"],
@@ -117,11 +125,10 @@ class DedupPipeline:
         def _edges():
             bands = None
             if self.cfg.pair_mode == "banded":
-                canon = base.join(
-                    out["exact_groups"].where(F.col("doc_id") == F.col("canonical_id"))
-                    .select("doc_id"), "doc_id") if self.cfg.exact_prededup else base
-                bands = sketch_bands(canon, self.cfg)
-            return build_edges(out["sketches"], self.cfg, bands=bands)
+                bands = out["sketches"].select("doc_id", "band_keys")
+            return build_edges(
+                out["sketches"].select("doc_id", "len", "n", "sig"),
+                self.cfg, bands=bands)
 
         out["edges"] = self._stage("edges", ["sketches"], _edges, resume,
                                    extra_inputs=input_fp)

@@ -218,3 +218,38 @@ def test_sketch_wminhash_spark_matches_kernel(spark):
                                      min_wjaccard=0.3).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_fused_banded_sketch_parity(spark):
+    """sketch_minhash_bands must be bit-identical to running sketch_minhash
+    and sketch_bands separately (one shingling pass vs two)."""
+    import random
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.sketch import (
+        sketch_bands,
+        sketch_minhash,
+        sketch_minhash_bands,
+    )
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(80)))
+            for i in range(25)]
+    rows.append((25, ""))          # filtered by min_len
+    rows.append((26, "short doc that still passes min_len=10 easily"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cfg in (PipelineConfig(min_len=10, shingle_k=8, sketch_size=64,
+                               perm_count=32, rows_per_band=2),
+                PipelineConfig(min_len=10, shingle_k=8, containment=True,
+                               contain_compress=50, min_sketch_size=16,
+                               threshold=0.02)):
+        fused = {r["doc_id"]: r for r in
+                 sketch_minhash_bands(docs, cfg).collect()}
+        sep_sk = {r["doc_id"]: r for r in sketch_minhash(docs, cfg).collect()}
+        sep_bd = {r["doc_id"]: r for r in sketch_bands(docs, cfg).collect()}
+        assert set(fused) == set(sep_sk) == set(sep_bd)
+        for d, row in fused.items():
+            assert (row["len"], row["n"], row["sig"]) == (
+                sep_sk[d]["len"], sep_sk[d]["n"], sep_sk[d]["sig"])
+            assert row["band_keys"] == sep_bd[d]["band_keys"]
