@@ -120,3 +120,39 @@ def test_label_propagation_with_knn(spark):
     # planted cliques still resolve under the cap
     for c in range(3):
         assert len({comms[c * 8 + i] for i in range(8)}) == 1
+
+
+def test_knn_cap_duplicate_edges_collapse(spark):
+    """Duplicate input edges for the same pair with different dist values
+    must yield ONE output row (min dist), not double-weighted duplicates."""
+    from rabbittclust_spark.operators.leiden import knn_cap_edges
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.3), (2, 1, 0.1), (1, 2, 0.1), (2, 3, 0.2)],
+        "src long, dst long, dist double")
+    rows = knn_cap_edges(df, k=5).collect()
+    pairs = [(r.src, r.dst) for r in rows]
+    assert sorted(pairs) == [(1, 2), (2, 3)]
+    assert {(r.src, r.dst): r.dist for r in rows}[(1, 2)] == 0.1
+
+
+def test_reference_twin_vectorized_2m_edges():
+    """The driver fast-path twin must handle driver_cutoff-scale graphs in
+    seconds (numpy-vectorized), not minutes of per-row Python."""
+    import time
+
+    import numpy as np
+
+    from rabbittclust_spark.operators.leiden import label_propagation_reference
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 400_000, 2_000_000
+    u = rng.integers(0, n_nodes, n_edges)
+    v = rng.integers(0, n_nodes, n_edges)
+    d = rng.random(n_edges) * 0.5
+    edges = list(zip(u.tolist(), v.tolist(), d.tolist()))
+    t0 = time.time()
+    labels = label_propagation_reference(edges, max_iter=5)
+    wall = time.time() - t0
+    assert len(labels) > 300_000
+    assert wall < 60.0, f"vectorized twin took {wall:.1f}s on 2M edges"
