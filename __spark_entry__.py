@@ -671,6 +671,45 @@ def _q_lpa_round1(spark, sf_dir):
                     F.coalesce("community", F.col("doc_id")).alias("community")))
 
 
+def _q_repdb_stats(spark, sf_dir):
+    """RepDB --stats report (src/greedy.cpp:2656-2770): scale + compression +
+    cluster-size-distribution + rep coverage aggregates, gated over the
+    oracle-checked token clustering."""
+    from rabbittclust_spark.operators.postprocess import repdb_stats
+
+    a = _token_assignments(spark, sf_dir)
+    doc_lens = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("len"))
+    return repdb_stats(a, doc_lens)
+
+
+def _q_token_containment_greedy(spark, sf_dir):
+    """The greedy path's containment VARIANT -(1/k)*ln(2c/(1+c))
+    (src/greedy.cpp:1245-1259, 2771-2788) over token pairs — the
+    SQL-expressible twin of cfg.containment_variant='greedy'."""
+    from rabbittclust_spark.functions.distances import greedy_containment_distance_expr
+
+    p = _token_pairs(spark, sf_dir)
+    c = F.col("common") / F.least("n1", "n2")
+    d = greedy_containment_distance_expr(F.col("common"), F.col("n1"),
+                                         F.col("n2"), TOKEN_MASH_K)
+    return p.select("src", "dst", "common",
+                    F.round(c, 6).alias("containment"),
+                    F.round(d, 6).alias("greedy_d"))
+
+
+def _q_wminhash_pairs(spark, sf_dir):
+    """Weighted MinHash (ICWS, Ioffe ICDM'10) similar pairs — the reference's
+    Sketch::WMinHash family (src/SketchInfo.cpp:130-141).  Rows-only: the
+    ICWS sampling is not SQL-expressible; its exact-weighted-Jaccard twin is
+    the numpy-oracle estimator-CI pytest in tests/test_minhash.py."""
+    from rabbittclust_spark.operators.dedup import wminhash_pairs
+
+    return wminhash_pairs(_docs(spark, sf_dir), _CFG, num_samples=64,
+                          min_wjaccard=0.2)
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Exact-substring dedup via winnowing fingerprints (Schleimer SIGMOD'03;
     the north rule's third signature family; containment scoring per
@@ -754,6 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_append": _q_incremental_append,
         "repdb_topk": _q_repdb_topk,
         "repdb_assign": _q_repdb_assign,
+        "repdb_stats": _q_repdb_stats,
+        "token_containment_greedy": _q_token_containment_greedy,
+        "wminhash_pairs": _q_wminhash_pairs,
         "multimodal_features": _q_multimodal_features,
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
@@ -1461,6 +1503,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rep_id, common, n1, n2, dist,
                    CAST(rank AS BIGINT) AS rank
             FROM rranked WHERE rank <= {REPDB_K}
+        """,
+        "repdb_stats": f"""
+            WITH RECURSIVE {_SQL_TOKEN_ASSIGN},
+            csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                       FROM assign GROUP BY 1),
+            stats AS (
+              SELECT CAST(sum(size) AS BIGINT) AS n_docs,
+                     CAST(count(*) AS BIGINT) AS n_reps,
+                     round((1.0 - count(*) / CAST(sum(size) AS DOUBLE)) * 100.0, 6)
+                       AS compression_pct,
+                     CAST(min(size) AS BIGINT) AS min_size,
+                     CAST(max(size) AS BIGINT) AS max_size,
+                     round(avg(size), 6) AS mean_size,
+                     round(quantile_cont(size, 0.5), 6) AS median_size,
+                     round(quantile_cont(size, 0.9), 6) AS p90_size,
+                     round(quantile_cont(size, 0.95), 6) AS p95_size,
+                     round(quantile_cont(size, 0.99), 6) AS p99_size,
+                     CAST(count(CASE WHEN size = 1 THEN 1 END) AS BIGINT)
+                       AS n_singletons
+              FROM csizes
+            ),
+            cov AS (
+              SELECT CAST(sum(length(d.text)) AS BIGINT) AS total_len,
+                     CAST(sum(CASE WHEN a.doc_id = a.cluster_id
+                                   THEN length(d.text) ELSE 0 END) AS BIGINT)
+                       AS rep_len
+              FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+            )
+            SELECT stats.*, cov.total_len, cov.rep_len,
+                   round(CASE WHEN cov.total_len > 0
+                              THEN 100.0 * cov.rep_len / cov.total_len
+                              ELSE 0.0 END, 6) AS coverage_pct
+            FROM stats, cov
+        """,
+        "token_containment_greedy": f"""
+            WITH {_TOKEN_PAIRS_CTE}
+            SELECT src, dst, common,
+                   round(common / CAST(least(n1, n2) AS DOUBLE), 6) AS containment,
+                   round(CASE
+                     WHEN common / CAST(least(n1, n2) AS DOUBLE) >= 1.0 THEN 0.0
+                     WHEN common / CAST(least(n1, n2) AS DOUBLE) <= 0.0 THEN 1.0
+                     ELSE least(1.0,
+                       -ln(2.0 * (common / CAST(least(n1, n2) AS DOUBLE))
+                           / (1.0 + common / CAST(least(n1, n2) AS DOUBLE)))
+                       / {TOKEN_MASH_K}.0)
+                   END, 6) AS greedy_d
+            FROM dists
         """,
         # minhash_dedup / minhash_dedup_banded / simhash_dedup /
         # fracminhash_containment / hll_cardinality / multimodal_features:

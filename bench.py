@@ -64,6 +64,14 @@ def main() -> None:
     (wp.alias("a").join(wp.alias("b"), "h")
      .where(F.col("a.doc_id") < F.col("b.doc_id"))
      .groupBy(F.col("a.doc_id"), F.col("b.doc_id")).count().count())
+    # the (now-default) hot-posting cap runs a count+agg job of its own
+    # unique plan shape — compile it here, not inside the flagship timing
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+    import dataclasses
+    _apply_posting_cap(wp.withColumn("n", F.lit(1)), "h",
+                       dataclasses.replace(PipelineConfig(min_len=20),
+                                           max_posting=1_000_000),
+                       "warm")[0].count()
     headline = [
         "minhash_dedup",          # flagship (probe mode — the scale default)
         "minhash_dedup_banded",   # banded-LSH path

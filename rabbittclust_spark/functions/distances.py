@@ -44,6 +44,17 @@ def containment_distance_expr(common: Column, n1: Column, n2: Column, k: int) ->
     )
 
 
+def greedy_containment_distance_expr(common: Column, n1: Column, n2: Column,
+                                     k: int) -> Column:
+    """The greedy path's containment VARIANT (src/greedy.cpp:1245-1259,
+    2771-2788 minhash_mash_distance): the Mash transform applied to the
+    containment ratio c = common/min(n1,n2) instead of Jaccard —
+    D = -(1/k)*ln(2c/(1+c)), min(n1,n2)=0 -> 1.0, clamped to [0, 1]."""
+    m = F.least(n1, n2)
+    c = F.when(m > 0, common.cast("double") / m.cast("double")).otherwise(F.lit(0.0))
+    return mash_distance_expr(c, k)
+
+
 def size_ratio_pred(n1: Column, n2: Column, max_ratio: float) -> Column:
     """True iff the pair is worth evaluating (src/MST.cpp:504-512)."""
     return F.greatest(n1, n2) <= F.lit(float(max_ratio)) * F.least(n1, n2)

@@ -64,6 +64,46 @@ def cluster_stats(assignments: DataFrame) -> DataFrame:
     )
 
 
+def repdb_stats(assignments: DataFrame, doc_lens: DataFrame | None = None) -> DataFrame:
+    """RepDB --stats report (src/greedy.cpp:2656-2770 print_stats): one row of
+    scale + cluster-size-distribution aggregates over a clustering.
+
+    Columns mirror the reference report sections: [Scale] n_docs / n_reps
+    (reps == clusters: one representative per cluster) / compression_pct =
+    (1 - reps/docs)*100; [Cluster Size Distribution] min/max/mean/median +
+    p90/p95/p99 (continuous percentiles — the report uses sorted-index
+    picks) + singleton count; [Genome Coverage] rep-length coverage when
+    ``doc_lens`` (doc_id, len) is supplied.  Pure partial-aggregable
+    groupBy/agg — no windows, no collect."""
+    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    stats = sizes.agg(
+        F.sum("size").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_reps"),
+        F.round((1.0 - F.count("*") / F.sum("size")) * 100.0, 6)
+         .alias("compression_pct"),
+        F.min("size").cast("long").alias("min_size"),
+        F.max("size").cast("long").alias("max_size"),
+        F.round(F.avg("size"), 6).alias("mean_size"),
+        F.round(F.expr("percentile(size, 0.5)"), 6).alias("median_size"),
+        F.round(F.expr("percentile(size, 0.9)"), 6).alias("p90_size"),
+        F.round(F.expr("percentile(size, 0.95)"), 6).alias("p95_size"),
+        F.round(F.expr("percentile(size, 0.99)"), 6).alias("p99_size"),
+        F.sum(F.when(F.col("size") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_singletons"),
+    )
+    if doc_lens is None:
+        return stats
+    cov = (assignments.join(doc_lens, "doc_id")
+           .agg(F.sum("len").cast("long").alias("total_len"),
+                F.sum(F.when(F.col("is_rep"), F.col("len")).otherwise(0))
+                 .cast("long").alias("rep_len")))
+    return stats.crossJoin(cov).withColumn(
+        "coverage_pct",
+        F.round(F.when(F.col("total_len") > 0,
+                       100.0 * F.col("rep_len") / F.col("total_len"))
+                .otherwise(F.lit(0.0)), 6))
+
+
 def dedup_medoid_collapse(assignments: DataFrame, edges: DataFrame,
                           doc_lens: DataFrame, dedup_dist: float) -> DataFrame:
     """Near-duplicate collapse at a tighter threshold

@@ -1,6 +1,7 @@
 """tools/run_pipeline.py CLI surface: build, RepDB query/assign, append —
 the reference-flag mapping MIGRATION.md documents."""
 
+import json
 import os
 import sys
 
@@ -52,6 +53,65 @@ def test_cli_build_query_assign_append(spark, cli_dirs):
     assert set(asg.columns) == {"query_id", "rep_id", "dist", "is_novel"}
 
     _run(base + ["--append", cli_dirs["in"]])
-    app = spark.read.parquet(os.path.join(cli_dirs["out"],
-                                          "assignments_appended"))
+    st = json.load(open(os.path.join(cli_dirs["out"], "STATE.json")))
+    assert st["version"] == 1
+    app = spark.read.parquet(st["assignments"])
     assert app.count() >= a.count()
+
+
+def test_cli_append_accumulates(spark, cli_dirs, tmp_path):
+    """Repeated --append must read the PREVIOUS append's state (versioned
+    pointer), not the original build — batch #1's docs survive batch #2."""
+    base = ["--input", cli_dirs["in"], "--output", cli_dirs["out"], "-m", "100"]
+    # fresh build resets the pointer from the earlier test's append
+    _run(base + ["--no-resume"])
+    assert not os.path.exists(os.path.join(cli_dirs["out"], "STATE.json"))
+    n0 = spark.read.parquet(
+        os.path.join(cli_dirs["out"], "assignments")).count()
+
+    def _batch(seed, offset, path):
+        corpus = generate_pandas(WebtextParams(
+            seed=seed, num_clusters=2, members_per_cluster=3,
+            num_singletons=2, num_short=0, hot_cluster_size=0))
+        corpus = corpus[["doc_id", "text"]].assign(
+            doc_id=corpus["doc_id"] + offset)
+        spark.createDataFrame(corpus).write.mode("overwrite").parquet(path)
+
+    b1 = str(tmp_path / "b1.parquet")
+    b2 = str(tmp_path / "b2.parquet")
+    _batch(101, 10_000, b1)
+    _batch(202, 20_000, b2)
+
+    _run(base + ["--append", b1])
+    st1 = json.load(open(os.path.join(cli_dirs["out"], "STATE.json")))
+    n1 = spark.read.parquet(st1["assignments"]).count()
+    _run(base + ["--append", b2])
+    st2 = json.load(open(os.path.join(cli_dirs["out"], "STATE.json")))
+    n2 = spark.read.parquet(st2["assignments"]).count()
+    assert st2["version"] == 2
+    assert n1 > n0 and n2 > n1  # batch #1 docs still present after batch #2
+    ids = {r.doc_id for r in
+           spark.read.parquet(st2["assignments"]).select("doc_id").collect()}
+    assert any(10_000 <= i < 20_000 for i in ids)
+    assert any(i >= 20_000 for i in ids)
+
+
+def test_cli_adopts_build_sketch_params(spark, cli_dirs, capsys):
+    """--db-query with mismatched -k/-s must sketch queries with the BUILD's
+    params (header-validation analog, src/Sketch_IO.cpp:136-167)."""
+    _run(["--input", cli_dirs["in"], "--output", cli_dirs["out"],
+          "-m", "100", "--db-query", cli_dirs["in"],
+          "-k", "7", "-s", "64", "--top-k", "1"])
+    msg = capsys.readouterr().out
+    assert "adopting the build's values" in msg
+    assert "shingle_k" in msg and "sketch_size" in msg
+    q = spark.read.parquet(os.path.join(cli_dirs["out"], "query_topk"))
+    # the corpus queried against itself (self-matches excluded by design):
+    # cluster members find their near-dup twins at tiny distances.  Query
+    # sketches built with the CLI's mismatched k=7/s=64 would share ~no
+    # hash with the k=21 rep index (different rolling-hash domain), so a
+    # populated result with near-zero top hits proves the build's params
+    # were adopted for query sketching.
+    rows = q.collect()
+    assert len(rows) > 0
+    assert min(r.dist for r in rows) < 0.01

@@ -56,3 +56,39 @@ def test_ngram_jaccard_hand_case(spark):
     # grams1 = {abc,bcd,cde}, grams2 = {abc,bcd,cdx}; common=2, union=4
     assert (r.src, r.dst, r.common) == (1, 2, 2)
     assert abs(r.jaccard - 0.5) < 1e-9
+
+
+def test_greedy_containment_variant(spark):
+    """cfg.containment_variant='greedy' applies -(1/k)*ln(2c/(1+c))
+    (src/greedy.cpp:1245-1259); Spark expr == numpy twin == hand formula."""
+    import dataclasses
+    import math
+
+    from rabbittclust_spark.functions.distances import (
+        greedy_containment_distance_expr,
+    )
+    from rabbittclust_spark.functions.minhash import greedy_containment_distance
+
+    rows = [(5, 10, 20), (10, 10, 30), (0, 10, 10), (3, 0, 7), (7, 7, 7)]
+    df = spark.createDataFrame(rows, "common int, n1 int, n2 int")
+    got = [r.d for r in df.select(
+        greedy_containment_distance_expr(
+            F.col("common"), F.col("n1"), F.col("n2"), 21).alias("d"))
+        .collect()]
+    for (common, n1, n2), g in zip(rows, got):
+        assert abs(g - greedy_containment_distance(common, n1, n2, 21)) < 1e-12
+    c = 5 / 10
+    assert abs(got[0] - (-math.log(2 * c / (1 + c)) / 21)) < 1e-12
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] == 1.0 and got[4] == 0.0
+
+    # config plumbing: the variant is accepted and hashes differently
+    from rabbittclust_spark.config import PipelineConfig
+
+    base = PipelineConfig(containment=True)
+    g = dataclasses.replace(base, containment_variant="greedy")
+    assert g.config_hash() != base.config_hash()
+    try:
+        dataclasses.replace(base, containment_variant="bogus")
+        raise AssertionError("bogus variant accepted")
+    except ValueError:
+        pass

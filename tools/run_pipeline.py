@@ -20,9 +20,62 @@ Flag mapping to RabbitTClust (src/main.cpp:113-254):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 from pyspark.sql import SparkSession
+
+_STATE = "STATE.json"
+
+
+def _state_paths(output: str) -> tuple[str, str, int]:
+    """Current canonical (sketches, assignments, version) state.
+
+    --append promotes its result by writing versioned dirs + atomically
+    updating <output>/STATE.json (the batch twin of streaming/ingest.py's
+    v{N} pointer layout), so repeated --append invocations ACCUMULATE:
+    append #2 reads append #1's state, never the pre-append build.  Without
+    a pointer the base build dirs are the state (version 0)."""
+    try:
+        with open(os.path.join(output, _STATE)) as f:
+            st = json.load(f)
+        return st["sketches"], st["assignments"], int(st["version"])
+    except (OSError, KeyError, ValueError, json.JSONDecodeError):
+        return (os.path.join(output, "sketches"),
+                os.path.join(output, "assignments"), 0)
+
+
+# sketch-identity params: two sketch sets are only comparable when ALL of
+# these match (the reference stores them in its sketch-file header and
+# validates on load, src/Sketch_IO.cpp:136-167)
+_SKETCH_PARAMS = ("shingle_k", "sketch_size", "containment",
+                  "containment_variant", "contain_compress",
+                  "min_sketch_size", "lowercase", "hash_seed", "min_len",
+                  "threshold", "perm_count", "rows_per_band", "perm_seed")
+
+
+def _adopt_build_config(output: str, cfg):
+    """Adopt the persisted build's sketch-identity params for query/append
+    sketching: joining sketches built with -k 21 against query sketches
+    built with -k 8 would produce silently meaningless intersections.  The
+    build manifest (DedupPipeline._stage) is the header analog; CLI values
+    that differ are overridden with a warning."""
+    import dataclasses
+
+    mpath = os.path.join(output, "sketches", "_manifest.json")
+    try:
+        with open(mpath) as f:
+            built = json.load(f)["config"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return cfg
+    adopt = {k: built[k] for k in _SKETCH_PARAMS if k in built}
+    diffs = {k: (getattr(cfg, k), v) for k, v in adopt.items()
+             if getattr(cfg, k) != v}
+    if diffs:
+        detail = ", ".join(f"{k}: {a!r} -> {b!r}" for k, (a, b) in diffs.items())
+        print(f"WARNING: CLI params differ from the built state's sketch "
+              f"header ({mpath}); adopting the build's values: {detail}")
+    return dataclasses.replace(cfg, **adopt)
 
 
 def _build_cfg(args):
@@ -76,13 +129,16 @@ def main() -> None:
     from rabbittclust_spark.plans.pipeline import DedupPipeline
 
     if args.db_query or args.db_assign:
-        # query modes reuse the built state's sketch table as the RepDB
+        # query modes reuse the built state's sketch table as the RepDB,
+        # INCLUDING any appended state, with the build's sketch params
         from rabbittclust_spark.streaming.incremental import (
             assign_or_novel,
             query_topk,
         )
 
-        reps = spark.read.parquet(os.path.join(args.output, "sketches"))
+        cfg = _adopt_build_config(args.output, cfg)
+        sk_path, _, _ = _state_paths(args.output)
+        reps = spark.read.parquet(sk_path)
         qdocs = spark.read.parquet(args.db_query or args.db_assign)
         if args.db_query:
             out = query_topk(reps, qdocs, cfg, k=args.top_k,
@@ -101,22 +157,31 @@ def main() -> None:
     if args.append:
         from rabbittclust_spark.streaming.incremental import append_batch
 
-        old_sk = spark.read.parquet(os.path.join(args.output, "sketches"))
-        old_assign = spark.read.parquet(
-            os.path.join(args.output, "assignments")).select(
-                "doc_id", "cluster_id")
+        cfg = _adopt_build_config(args.output, cfg)
+        sk_path, as_path, version = _state_paths(args.output)
+        old_sk = spark.read.parquet(sk_path)
+        old_assign = spark.read.parquet(as_path).select("doc_id", "cluster_id")
         new_docs = spark.read.parquet(args.append)
         out = append_batch(old_sk, old_assign, new_docs, cfg,
                            id_col=args.id_col, text_col=args.text_col)
-        for name in ("sketches", "assignments"):
+        v = version + 1
+        new_paths = {name: os.path.join(args.output, f"{name}_v{v}")
+                     for name in ("sketches", "assignments")}
+        for name, path in new_paths.items():
             df = out[name]
             if name == "assignments":
                 df = df.select("doc_id", "cluster_id",
                                (df.doc_id == df.cluster_id).alias("is_rep"))
-            df.write.mode("overwrite").parquet(
-                os.path.join(args.output, name + "_appended"))
+            df.write.mode("overwrite").parquet(path)
+        # atomic pointer flip: the new version only becomes canonical once
+        # both tables are fully written (crash mid-write leaves version v-1)
+        tmp = os.path.join(args.output, _STATE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "sketches": new_paths["sketches"],
+                       "assignments": new_paths["assignments"]}, f)
+        os.replace(tmp, os.path.join(args.output, _STATE))
         n = out["assignments"].count()
-        print(f"appended: {n} total docs -> {args.output}/*_appended")
+        print(f"appended: {n} total docs -> {args.output} (state v{v})")
         if owns_session:
             spark.stop()
         return
@@ -125,6 +190,11 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     out = pipe.run(docs, resume=not args.no_resume, html_col=args.html_col,
                    id_col=args.id_col, text_col=args.text_col)
+    # a fresh build supersedes any appended state: reset the pointer so
+    # later --append/--db-* read the rebuilt base tables (version 0)
+    state_ptr = os.path.join(args.output, _STATE)
+    if os.path.exists(state_ptr):
+        os.remove(state_ptr)
     if args.dense:
         from rabbittclust_spark.operators.postprocess import remove_noise
 
