@@ -79,6 +79,14 @@ class PipelineConfig:
     dedup_dist: float | None = None
     reps_per_cluster: int = 1
 
+    # --- communities over the persisted similarity graph (the reference's
+    # clust-leiden pregraph surface, src/leiden.cpp:474-746: persist the
+    # weighted graph once, re-run community detection at a new resolution
+    # without recomputing pairs) ---
+    community_resolution: float | None = None  # None = no communities stage
+    community_knn: int | None = None           # per-node k-NN edge cap (--knn)
+    community_max_iter: int = 20
+
     # --- determinism (reference seeds 23 / 348842630, src/SketchInfo.cpp:88-94) ---
     hash_seed: int = 23
     perm_seed: int = 348842630
@@ -108,6 +116,8 @@ class PipelineConfig:
         if self.hot_hash_mode not in ("star", "drop"):
             raise ValueError(
                 f"hot_hash_mode must be 'star' or 'drop', got {self.hot_hash_mode!r}")
+        if self.community_knn is not None and self.community_knn < 1:
+            raise ValueError("community_knn must be >= 1")
         if self.simhash_hamming_max < 1:
             # num_blocks = hamming_max + 1 must be >= 2 so the pigeonhole
             # block keys fit int64 (functions/simhash.simhash_blocks)
@@ -153,3 +163,49 @@ class PipelineConfig:
         """Stable hash for checkpoint-validity checks (plans/pipeline.py)."""
         blob = json.dumps(self.to_dict(), sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+    def stage_hash(self, stage: str) -> str:
+        """Stable hash over only the config fields STAGE's computation reads.
+
+        This is what makes the pipeline's resume surface match the
+        reference's: --presketched (src/main.cpp:616-641) reuses sketches
+        under a new -d because the sketch files don't depend on the
+        threshold, and clust-leiden's pregraph (src/leiden.cpp:474-746)
+        reuses the persisted similarity graph under a new resolution.
+        Hashing the FULL config would invalidate every stage on any knob
+        change; hashing per-stage-relevant fields reuses everything
+        upstream of the knob.  Unknown stages fall back to the full hash
+        (safe: over-invalidation, never staleness)."""
+        fields = _STAGE_FIELDS.get(stage)
+        if fields is None:
+            return self.config_hash()
+        d: dict = {f: getattr(self, f) for f in fields}
+        if stage == "sketches":
+            # probe and index modes share one sketch layout; banded adds
+            # band_keys to the stage table — only THAT distinction matters
+            d["sketch_layout"] = "banded" if self.pair_mode == "banded" else "flat"
+        blob = json.dumps(d, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+# Config fields each DedupPipeline stage actually reads (upstream data
+# dependencies are tracked separately via manifest input ids).  Keep in sync
+# with plans/pipeline.py stage lambdas; a field listed too broadly costs a
+# spurious recompute, a field MISSING here serves stale results — when in
+# doubt, include it.
+_STAGE_FIELDS: dict[str, tuple[str, ...]] = {
+    "extracted": (),
+    "exact_groups": (),
+    "sketches": ("shingle_k", "sketch_size", "containment", "contain_compress",
+                 "min_sketch_size", "lowercase", "hash_seed", "min_len",
+                 "perm_count", "rows_per_band", "perm_seed", "exact_prededup"),
+    "edges": ("threshold", "mash_k", "shingle_k", "pair_mode", "probe_hashes",
+              "max_posting", "hot_hash_mode", "containment",
+              "containment_variant", "perm_count", "rows_per_band"),
+    "membership": (),
+    "assignments": (),
+    "dedup_groups": ("dedup_dist",),
+    "reps": ("reps_per_cluster",),
+    "communities": ("community_resolution", "community_knn",
+                    "community_max_iter"),
+}

@@ -112,3 +112,97 @@ def recommend_shingle_k(max_doc_len: int, q: float = 1e-4,
     sigma=4 for DNA; text uses an effective-alphabet estimate)."""
     import math
     return max(4, math.ceil(math.log(max_doc_len * (1 - q) / q, alphabet)))
+
+
+def format_threshold_report(edges: DataFrame, min_gap_frac: float = 0.05,
+                            histogram: bool = False, buckets: int = 1000,
+                            max_distribution_rows: int = 10_000) -> str:
+    """Threshold-analysis text report, output-parity with the reference's
+    printThresholdAnalysis (src/MST.cpp:2285-2375): header, edge-length
+    statistics, recommended threshold (+ stability block), candidate TSV,
+    sorted edge-length distribution.
+
+    One Spark agg for the stats; candidates/stability reuse the operators
+    above.  The distribution dump is capped at ``max_distribution_rows``
+    with an explicit truncation note (the reference dumps every MST edge —
+    at most n-1 rows on genomes; web-scale edge sets use the cap or
+    histogram=True, never an unbounded collect).
+    """
+    from rabbittclust_spark.operators.postprocess import edge_length_stats
+
+    s = edge_length_stats(edges).collect()[0]
+    n = int(s["n_edges"] or 0)
+    lines = [
+        "# Automatic Threshold Selection Analysis",
+        "# Based on Similarity Graph Edge Length Distribution",
+        "# ===========================================",
+        "",
+        "## Edge Length Statistics",
+        f"Total edges: {n}",
+    ]
+    if n == 0:
+        lines += ["", "## Optimal Threshold (Recommended)",
+                  "No nonzero edges: analysis unavailable.", ""]
+        return "\n".join(lines)
+    lines += [
+        f"Min distance: {s['min_dist']:.6f}",
+        f"Max distance: {s['max_dist']:.6f}",
+        f"Mean distance: {s['mean_dist']:.6f}",
+        f"Median distance: {s['median']:.6f}",
+        f"Q1 (25%): {s['q1']:.6f}",
+        f"Q3 (75%): {s['q3']:.6f}",
+        f"Standard deviation: {s['std_dist']:.6f}",
+        f"Range: {s['max_dist'] - s['min_dist']:.6f}",
+        "",
+    ]
+
+    cands = find_threshold_candidates(edges, min_gap_frac=min_gap_frac,
+                                      histogram=histogram, buckets=buckets)
+    opt = select_optimal_threshold(cands)
+    lines.append("## Optimal Threshold (Recommended)")
+    if opt is None:
+        lines += ["No candidate thresholds (degenerate distribution).", ""]
+    else:
+        stab = threshold_stability(edges, opt.threshold)
+        lines += [
+            f"Threshold: {opt.threshold:.6f}",
+            f"Confidence: {opt.confidence:.3f}",
+            f"Stability (overall): {1.0 - stab['flip_rate']:.3f}",
+            f"  - Near edges evaluated: {stab['n_flippable']}",
+        ]
+        if opt.source == "gap":
+            lines += [f"Gap score: {opt.gap_size:.6f}",
+                      "Source: gap-based detection (natural breakpoint in "
+                      "edge distribution)"]
+        else:
+            lines += ["Source: percentile-based (median/quartile, no "
+                      "significant gap detected)",
+                      "Note: This threshold is based on distribution "
+                      "statistics, not natural breakpoints.",
+                      "      Consider manual adjustment if needed."]
+        lines.append("")
+
+    lines += ["## All Candidate Thresholds",
+              "# Threshold\tConfidence\tSource\tGap_Score"]
+    for c in cands:
+        lines.append(f"{c.threshold:.6f}\t{c.confidence:.3f}\t{c.source}"
+                     f"\t{c.gap_size:.6f}")
+    lines.append("")
+
+    lines += ["## Edge Length Distribution (sorted)", "# Index\tDistance"]
+    dist = _edge_distances(edges, histogram, buckets)
+    shown = dist[:max_distribution_rows]
+    lines += [f"{i}\t{d:.6f}" for i, d in enumerate(shown)]
+    if len(dist) > len(shown):
+        lines.append(f"# ... truncated: {len(dist) - len(shown)} more rows "
+                     f"(max_distribution_rows={max_distribution_rows})")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def write_threshold_report(edges: DataFrame, path: str, **kwargs) -> str:
+    """Write format_threshold_report to ``path``; returns the text."""
+    text = format_threshold_report(edges, **kwargs)
+    with open(path, "w") as f:
+        f.write(text)
+    return text

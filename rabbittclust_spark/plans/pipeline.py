@@ -12,6 +12,7 @@ Iceberg tables on a cluster — `df.writeTo(ns.table).createOrReplace()`):
     <root>/membership     doc_id, cluster_id
     <root>/assignments    doc_id, cluster_id, is_rep
     <root>/dedup_groups   doc_id, cluster_id, dup_group, rep_id, is_dup_rep
+    <root>/communities    doc_id, community     (LPA over the edges pregraph)
     <root>/metrics        one row per stage run (lineage + per-partition rows)
 
 Each stage directory carries a `_manifest.json` recording the config hash,
@@ -19,7 +20,10 @@ input manifest ids, row count, per-partition row counts (the north rule's
 per-partition lineage), and wall time.  ``run(resume=True)`` skips any stage
 whose manifest matches the current config and upstream lineage — the
 reference's --presketched/--premsted resume surface
-(src/main.cpp:616-641), generalized to every stage.
+(src/main.cpp:616-641), generalized to every stage.  Manifests are gated on
+PER-STAGE config fingerprints (PipelineConfig.stage_hash): a new -d reuses
+sketches, a new community resolution reuses edges (the reference's pregraph
+reload, src/leiden.cpp:474-746) — only stages whose own knobs changed rerun.
 """
 
 from __future__ import annotations
@@ -168,6 +172,30 @@ class DedupPipeline:
                 lambda: k_reps_per_cluster(out["assignments"], out["edges"],
                                            self.cfg.reps_per_cluster),
                 resume)
+        if self.cfg.community_resolution is not None:
+            # pregraph surface (src/leiden.cpp:474-746): the persisted edges
+            # stage IS the weighted similarity graph — re-running at a new
+            # resolution/knn recomputes ONLY this stage (stage_hash scopes
+            # the knobs to "communities"; "edges" doesn't read them)
+            def _communities():
+                from rabbittclust_spark.operators.leiden import label_propagation
+
+                comm = label_propagation(
+                    out["edges"], resolution=self.cfg.community_resolution,
+                    max_iter=self.cfg.community_max_iter,
+                    knn=self.cfg.community_knn)
+                canon = assignments_from_components(
+                    out["sketches"].select("doc_id"),
+                    comm.withColumnRenamed("community", "cluster_id"))
+                return (out["exact_groups"]
+                        .join(canon.withColumnRenamed("doc_id", "canonical_id"),
+                              "canonical_id")
+                        .select("doc_id",
+                                F.col("cluster_id").alias("community")))
+
+            out["communities"] = self._stage(
+                "communities", ["edges", "exact_groups", "sketches"],
+                _communities, resume)
         return out
 
     # ------------------------------------------------------------- machinery
@@ -199,7 +227,7 @@ class DedupPipeline:
             input_ids = {**input_ids, **extra_inputs}
         m = self._read_manifest(stage)
         if (resume and m is not None
-                and m.get("config_hash") == self.cfg.config_hash()
+                and m.get("config_hash") == self.cfg.stage_hash(stage)
                 and m.get("inputs") == input_ids):
             return self.spark.read.parquet(path)
 
@@ -218,7 +246,7 @@ class DedupPipeline:
             "manifest_id": uuid.uuid4().hex[:12],
             "stage": stage,
             "run_id": self.run_id,
-            "config_hash": self.cfg.config_hash(),
+            "config_hash": self.cfg.stage_hash(stage),
             "config": self.cfg.to_dict(),
             "inputs": input_ids,
             "rows": int(sum(r for _, r in part_rows)),

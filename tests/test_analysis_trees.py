@@ -82,3 +82,53 @@ def test_linkage_matrix_scipy_convention():
     assert rows[1] == (2, 3, 0.1, 3)
     # verify against scipy semantics by reconstructing sizes
     assert rows[-1][3] == 3
+
+
+def test_threshold_report_golden(spark, tmp_path):
+    """format_threshold_report output parity with printThresholdAnalysis
+    (src/MST.cpp:2285-2375): section layout + exact stat lines on a
+    deterministic two-band distribution."""
+    from rabbittclust_spark.operators.analysis import write_threshold_report
+
+    dists = [0.01, 0.02, 0.03, 0.2, 0.21]
+    path = str(tmp_path / "threshold_analysis.txt")
+    text = write_threshold_report(_edges_df(spark, dists), path)
+    assert open(path).read() == text
+
+    lines = text.splitlines()
+    assert lines[0] == "# Automatic Threshold Selection Analysis"
+    for section in ("## Edge Length Statistics",
+                    "## Optimal Threshold (Recommended)",
+                    "## All Candidate Thresholds",
+                    "## Edge Length Distribution (sorted)"):
+        assert section in lines
+    assert "Total edges: 5" in lines
+    assert "Min distance: 0.010000" in lines
+    assert "Max distance: 0.210000" in lines
+    assert "Median distance: 0.030000" in lines
+    assert "Range: 0.200000" in lines
+    # the 0.03 -> 0.2 gap is the breakpoint; recommended inside it
+    thr = float(next(l for l in lines if l.startswith("Threshold: "))
+                .split(": ")[1])
+    assert 0.03 < thr < 0.2
+    assert any(l.startswith("Source: gap-based") for l in lines)
+    # candidate TSV header + at least one gap row
+    assert "# Threshold\tConfidence\tSource\tGap_Score" in lines
+    assert any("\tgap\t" in l for l in lines)
+    # sorted distribution with index column
+    i = lines.index("# Index\tDistance")
+    assert lines[i + 1] == "0\t0.010000"
+    assert lines[i + 5] == "4\t0.210000"
+
+
+def test_threshold_report_truncation_and_empty(spark):
+    from rabbittclust_spark.operators.analysis import format_threshold_report
+
+    dists = list(np.linspace(0.01, 0.3, 50))
+    text = format_threshold_report(_edges_df(spark, dists),
+                                   max_distribution_rows=10)
+    assert "# ... truncated: 40 more rows" in text
+
+    empty = format_threshold_report(
+        spark.createDataFrame([], "src long, dst long, dist double"))
+    assert "No nonzero edges" in empty

@@ -34,7 +34,7 @@ def test_pipeline_runs_and_resumes(spark, corpus, tmp_path_factory):
 
     # manifests exist with lineage
     m = json.load(open(os.path.join(root, "edges", "_manifest.json")))
-    assert m["config_hash"] == CFG.config_hash()
+    assert m["config_hash"] == CFG.stage_hash("edges")
     assert m["rows"] == sum(r for _, r in m["partition_rows"])
     assert "sketches" in m["inputs"]
 

@@ -85,8 +85,10 @@ def _build_cfg(args):
         shingle_k=args.kmer_size, sketch_size=args.sketch_size,
         threshold=args.threshold, min_len=args.min_len,
         containment=args.containment, pair_mode=args.pair_mode,
-        max_posting=args.max_posting, hot_hash_mode=args.hot_hash_mode,
-        dedup_dist=args.dedup_dist, reps_per_cluster=args.reps_per_cluster)
+        max_posting=(None if args.max_posting <= 0 else args.max_posting),
+        hot_hash_mode=args.hot_hash_mode,
+        dedup_dist=args.dedup_dist, reps_per_cluster=args.reps_per_cluster,
+        community_resolution=args.resolution, community_knn=args.knn)
 
 
 def main() -> None:
@@ -104,10 +106,19 @@ def main() -> None:
     ap.add_argument("-c", "--containment", action="store_true")
     ap.add_argument("--pair-mode", default="probe",
                     choices=["index", "probe", "banded"])
-    ap.add_argument("--max-posting", type=int, default=None)
+    # the config's skew-safe finite default, NOT None: the CLI must not
+    # silently disable the hot-posting cap; 0 = unlimited (explicit opt-out)
+    ap.add_argument("--max-posting", type=int, default=20_000,
+                    help="posting-list cap (0 = unlimited)")
     ap.add_argument("--hot-hash-mode", default="star", choices=["star", "drop"])
     ap.add_argument("--dedup-dist", type=float, default=None)
     ap.add_argument("--reps-per-cluster", type=int, default=1)
+    ap.add_argument("--resolution", type=float, default=None,
+                    help="community detection over the edges pregraph at this "
+                         "resolution (clust-leiden analog); rerunning with a "
+                         "new value reuses the persisted graph")
+    ap.add_argument("--knn", type=int, default=None,
+                    help="per-node k-NN edge cap before community detection")
     ap.add_argument("--dense", action="store_true",
                     help="noise removal pass (cluster_id -1 for noise)")
     ap.add_argument("--append", default=None, metavar="NEW_INPUT",
