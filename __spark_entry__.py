@@ -383,6 +383,52 @@ def _q_token_edge_stats(spark, sf_dir):
     return edge_length_stats(_token_edges(spark, sf_dir))
 
 
+def _token_dist_edges(spark, sf_dir):
+    """UNthresholded token-pair distance edges (dist > 0) — the edge-length
+    distribution the threshold-analysis operators run on."""
+    from rabbittclust_spark.functions.distances import jaccard_expr, mash_distance_expr
+    p = _token_pairs(spark, sf_dir)
+    d = mash_distance_expr(jaccard_expr(F.col("common"), F.col("n1"), F.col("n2")),
+                           TOKEN_MASH_K)
+    return (p.select("src", "dst", F.round(d, 6).alias("dist"))
+            .where(F.col("dist") > 0))
+
+
+def _q_threshold_candidates(spark, sf_dir):
+    """Auto-threshold candidates + optimal pick
+    (findThresholdCandidates/selectOptimalThreshold, src/MST.cpp:1962-2283)
+    over the token-pair Mash distance distribution.  Gap candidates appear
+    only when a breakpoint exceeds 5% of the range (none in this dense
+    distribution at sf<=0.01); the percentile candidates and the
+    max-confidence/min-threshold optimal pick are fully SQL-expressible."""
+    from rabbittclust_spark.operators.analysis import (
+        find_threshold_candidates,
+        select_optimal_threshold,
+    )
+
+    e = _token_dist_edges(spark, sf_dir)
+    cands = find_threshold_candidates(e)
+    opt = select_optimal_threshold(cands)
+    rows = [(round(c.threshold, 6), c.source, round(c.gap_size, 6),
+             round(c.confidence, 6), c == opt) for c in cands]
+    return spark.createDataFrame(
+        rows, "threshold double, source string, gap_size double, "
+              "confidence double, is_optimal boolean")
+
+
+def _q_threshold_stability(spark, sf_dir):
+    """Threshold stability: flip rate of near-threshold edges under the
+    adaptive +-eps window (src/MST.cpp:1829-1960) at the token-edge d."""
+    from rabbittclust_spark.operators.analysis import threshold_stability
+
+    st = threshold_stability(_token_dist_edges(spark, sf_dir), TOKEN_D)
+    return spark.createDataFrame(
+        [(round(st["eps"], 6), st["n_edges"], st["n_flippable"],
+          round(st["flip_rate"], 6), st["stable"])],
+        "eps double, n_edges long, n_flippable long, flip_rate double, "
+        "stable boolean")
+
+
 def _q_token_cluster_members(spark, sf_dir):
     """Cluster member listing with the reference's local-index column
     (src/MST_IO.cpp:90-131): rep first, then by doc_id."""
@@ -796,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repdb_stats": _q_repdb_stats,
         "token_containment_greedy": _q_token_containment_greedy,
         "wminhash_pairs": _q_wminhash_pairs,
+        "threshold_candidates": _q_threshold_candidates,
+        "threshold_stability": _q_threshold_stability,
         "multimodal_features": _q_multimodal_features,
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
@@ -1536,6 +1584,67 @@ def oracle_sql() -> dict[str, str]:
                               THEN 100.0 * cov.rep_len / cov.total_len
                               ELSE 0.0 END, 6) AS coverage_pct
             FROM stats, cov
+        """,
+        "threshold_candidates": f"""
+            WITH {_TOKEN_PAIRS_CTE},
+            dd AS (SELECT round(mash_d, 6) AS dist FROM dists
+                   WHERE round(mash_d, 6) > 0),
+            stats AS (SELECT count(*) AS n, max(dist) - min(dist) AS rng
+                      FROM dd),
+            ordered AS (SELECT dist, row_number() OVER (ORDER BY dist) AS rn
+                        FROM dd),
+            gap_cands AS (
+              SELECT round((o1.dist + o2.dist) / 2.0, 6) AS threshold,
+                     'gap' AS source,
+                     round(o2.dist - o1.dist, 6) AS gap_size,
+                     round(least(1.0,
+                           (o2.dist - o1.dist) / s.rng / 0.05 / 2.0), 6)
+                       AS confidence
+              FROM ordered o1 JOIN ordered o2 ON o2.rn = o1.rn + 1, stats s
+              WHERE s.rng > 0 AND s.n >= 2
+                AND (o2.dist - o1.dist) >= 0.05 * s.rng
+            ),
+            pct_cands AS (
+              SELECT round(quantile_cont(dist, 0.25), 6) AS threshold,
+                     'percentile' AS source, 0.0 AS gap_size,
+                     0.3 AS confidence FROM dd, stats s
+              WHERE s.rng > 0 AND s.n >= 2
+              UNION ALL
+              SELECT round(quantile_cont(dist, 0.50), 6), 'percentile',
+                     0.0, 0.3 FROM dd, stats s WHERE s.rng > 0 AND s.n >= 2
+              UNION ALL
+              SELECT round(quantile_cont(dist, 0.75), 6), 'percentile',
+                     0.0, 0.3 FROM dd, stats s WHERE s.rng > 0 AND s.n >= 2
+              UNION ALL
+              SELECT round(quantile_cont(dist, 0.90), 6), 'percentile',
+                     0.0, 0.3 FROM dd, stats s WHERE s.rng > 0 AND s.n >= 2
+            ),
+            cands AS (SELECT * FROM gap_cands
+                      UNION ALL SELECT * FROM pct_cands)
+            SELECT threshold, source, gap_size, confidence,
+                   row_number() OVER (ORDER BY confidence DESC,
+                                      threshold ASC) = 1 AS is_optimal
+            FROM cands
+        """,
+        "threshold_stability": f"""
+            WITH {_TOKEN_PAIRS_CTE},
+            dd AS (SELECT round(mash_d, 6) AS dist FROM dists
+                   WHERE round(mash_d, 6) > 0)
+            SELECT 0.0025 AS eps,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(coalesce(sum(CASE WHEN dist > {TOKEN_D} - 0.0025
+                                           AND dist <= {TOKEN_D} + 0.0025
+                                          THEN 1 END), 0) AS BIGINT)
+                     AS n_flippable,
+                   round(coalesce(sum(CASE WHEN dist > {TOKEN_D} - 0.0025
+                                            AND dist <= {TOKEN_D} + 0.0025
+                                           THEN 1 END), 0)
+                         / CAST(count(*) AS DOUBLE), 6) AS flip_rate,
+                   (coalesce(sum(CASE WHEN dist > {TOKEN_D} - 0.0025
+                                       AND dist <= {TOKEN_D} + 0.0025
+                                      THEN 1 END), 0)
+                    / CAST(count(*) AS DOUBLE)) < 0.05 AS stable
+            FROM dd
         """,
         "token_containment_greedy": f"""
             WITH {_TOKEN_PAIRS_CTE}

@@ -16,8 +16,12 @@ fixpoint — Catalyst has no fixpoint operator, SURVEY.md §4).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -130,12 +134,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         return _driver_union_find(e)
     e = e.localCheckpoint(eager=True)  # big path: pay materialization once
     converged = False
-    for _ in range(max_iter):
+    for it in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         fp = _edge_fingerprint(e2)
         e = e2
         if fp == prev_fp:
             converged = True
+            _LOG.info("connected_components: converged in %d "
+                      "large-star/small-star iterations (%d edges)", it, fp[0])
             break
         prev_fp = fp
     if not converged:

@@ -115,3 +115,14 @@ def test_cli_adopts_build_sketch_params(spark, cli_dirs, capsys):
     rows = q.collect()
     assert len(rows) > 0
     assert min(r.dist for r in rows) < 0.01
+
+
+def test_cli_auto_threshold_report(spark, cli_dirs):
+    """--auto-threshold writes the reference-format analysis report
+    (src/MST.cpp:2285-2375) next to the stage tables."""
+    _run(["--input", cli_dirs["in"], "--output", cli_dirs["out"],
+          "-m", "100", "--auto-threshold"])
+    text = open(os.path.join(cli_dirs["out"], "threshold_analysis.txt")).read()
+    assert text.startswith("# Automatic Threshold Selection Analysis")
+    assert "## Edge Length Statistics" in text
+    assert "## Optimal Threshold (Recommended)" in text

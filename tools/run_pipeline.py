@@ -119,6 +119,9 @@ def main() -> None:
                          "new value reuses the persisted graph")
     ap.add_argument("--knn", type=int, default=None,
                     help="per-node k-NN edge cap before community detection")
+    ap.add_argument("--auto-threshold", action="store_true",
+                    help="write threshold_analysis.txt (reference "
+                         "--auto-threshold report)")
     ap.add_argument("--dense", action="store_true",
                     help="noise removal pass (cluster_id -1 for noise)")
     ap.add_argument("--append", default=None, metavar="NEW_INPUT",
@@ -212,6 +215,13 @@ def main() -> None:
         denoised = remove_noise(out["assignments"], out["edges"])
         denoised.write.mode("overwrite").parquet(
             os.path.join(args.output, "assignments_dense"))
+    if args.auto_threshold:
+        # reference --auto-threshold report file (src/MST.cpp:2285-2375)
+        from rabbittclust_spark.operators.analysis import write_threshold_report
+
+        rpath = os.path.join(args.output, "threshold_analysis.txt")
+        write_threshold_report(out["edges"], rpath)
+        print(f"threshold analysis -> {rpath}")
     n = out["assignments"].count()
     clusters = out["assignments"].select("cluster_id").distinct().count()
     extras = [k for k in ("dedup_groups", "reps") if k in out]

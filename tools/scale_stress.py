@@ -1,0 +1,181 @@
+"""Scale stress: ~1M-doc flagship run under the DEFAULT config.
+
+Evidence for the 100x-design claim beyond the bench corpus (BENCH/SCALE.md):
+
+- the default skew path in anger: a hot-boilerplate cluster LARGER than the
+  default max_posting=20000, so the posting cap + star escalation fire on a
+  real run (counts captured from the operator's own log lines — no silent
+  caps);
+- distributed large-star/small-star CC on a multi-million-edge graph (above
+  the 2M driver cutoff), with iteration count, and a spot check that the
+  distributed result matches the driver union-find bit-for-bit;
+- end-to-end docs/s at 4x the previous 242k-doc stress run.
+
+Usage: python tools/scale_stress.py [--clusters 80000] [--hot 25000]
+Writes BENCH/SCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CORPUS_DIR = "/root/repo/.out/stress_corpus"
+
+
+class _Capture(logging.Handler):
+    def __init__(self) -> None:
+        super().__init__()
+        self.lines: list[str] = []
+
+    def emit(self, record: logging.LogRecord) -> None:
+        self.lines.append(record.getMessage())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    # members=6 (not 10): verify-join shuffle bytes are
+    # O(candidate_pairs x sketch_size); 120k x C(6,2)=15 pairs keeps the
+    # worst shuffle inside this sandbox's ~60 GB free disk while still
+    # driving >1M docs end-to-end (a real cluster node has far more
+    # shuffle disk per executor; the per-pair byte cost is the invariant)
+    ap.add_argument("--clusters", type=int, default=120_000)
+    ap.add_argument("--members", type=int, default=6)
+    ap.add_argument("--hot", type=int, default=25_000,
+                    help="hot-boilerplate cluster size (> default cap 20000)")
+    ap.add_argument("--min-tokens", type=int, default=150)
+    ap.add_argument("--max-tokens", type=int, default=400)
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.fixtures.webtext import WebtextParams, generate_spark
+    from rabbittclust_spark.operators.dedup import minhash_dedup
+    from rabbittclust_spark.session import get_spark
+    from rabbittclust_spark.sources.tables import materialize
+
+    p = WebtextParams(num_clusters=args.clusters,
+                      members_per_cluster=args.members,
+                      num_singletons=args.clusters * 2,
+                      num_short=args.clusters // 4,
+                      hot_cluster_size=args.hot,
+                      min_doc_tokens=args.min_tokens,
+                      max_doc_tokens=args.max_tokens)
+    spark = get_spark("scale-stress", master="local[32]",
+                      shuffle_partitions=128,
+                      extra_conf={"spark.driver.memory":
+                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                                 "24g")})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_gen:
+        t0 = time.time()
+        generate_spark(spark, p).repartition(128).select("doc_id", "text") \
+            .write.mode("overwrite").parquet(CORPUS_DIR)
+        gen_s = time.time() - t0
+    else:
+        gen_s = None
+    docs = spark.read.parquet(CORPUS_DIR)
+    n_gen = docs.count()
+
+    cap = _Capture()
+    for name in ("rabbittclust_spark.operators.pairs",
+                 "rabbittclust_spark.operators.components"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.INFO)
+        lg.addHandler(cap)
+
+    cfg = PipelineConfig()  # DEFAULTS: probe mode, max_posting=20000, star
+    t0 = time.time()
+    out = minhash_dedup(docs, cfg)
+    assignments = materialize(out["assignments"], "stress_assign")
+    n_docs = assignments.count()
+    wall = time.time() - t0
+    edges = materialize(out["edges"], "stress_edges")
+    n_edges = edges.count()
+    n_clusters = assignments.select("cluster_id").distinct().count()
+
+    hot_lines = [l for l in cap.lines if "hot" in l.lower() or "cap" in l.lower()]
+    cc_lines = [l for l in cap.lines if "converged" in l]
+    cc_iters = None
+    for l in cc_lines:
+        m = re.search(r"converged in (\d+)", l)
+        if m:
+            cc_iters = int(m.group(1))
+
+    # spot check: distributed CC == driver union-find on the same edge set
+    from rabbittclust_spark.operators.components import connected_components
+    t0 = time.time()
+    dist_cc = materialize(
+        connected_components(edges, driver_cutoff=0), "cc_dist")
+    cc_dist_s = time.time() - t0
+    t0 = time.time()
+    drv_cc = materialize(
+        connected_components(edges, driver_cutoff=2**62), "cc_drv")
+    cc_drv_s = time.time() - t0
+    mismatches = (dist_cc.withColumnRenamed("cluster_id", "a")
+                  .join(drv_cc.withColumnRenamed("cluster_id", "b"),
+                        "doc_id", "full")
+                  .where("a IS DISTINCT FROM b").count())
+
+    res = {
+        "generated_docs": n_gen,
+        "gen_sec": round(gen_s, 1) if gen_s is not None else None,
+        "clustered_docs": n_docs,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "edges": n_edges,
+        "clusters": n_clusters,
+        "cc_iterations": cc_iters,
+        "cc_distributed_sec": round(cc_dist_s, 1),
+        "cc_driver_sec": round(cc_drv_s, 1),
+        "cc_mismatches": mismatches,
+        "hot_cluster_size": args.hot,
+        "hot_key_log": hot_lines[:10],
+    }
+    print(json.dumps(res))
+
+    md = f"""# BENCH/SCALE — ~1M-doc stress run (default config)
+
+Generated by `tools/scale_stress.py` ({time.strftime('%Y-%m-%d %H:%M')} UTC,
+local[32], shuffle_partitions=128, driver 24g).
+
+Corpus: {args.clusters} near-dup clusters x {args.members} members +
+{args.clusters * 2} singletons + {args.clusters // 4} short docs + a
+**{args.hot}-doc hot-boilerplate cluster** (deliberately ABOVE the default
+max_posting=20000, so the skew path fires on a real run);
+{args.min_tokens}-{args.max_tokens} tokens/doc; {n_gen} docs generated.
+
+Config: `PipelineConfig()` **defaults** — probe mode, max_posting=20000,
+hot_hash_mode=star, exact pre-dedup.
+
+| metric | value |
+|---|---|
+| docs clustered (>= min_len) | {n_docs} |
+| end-to-end wall | {wall:.1f} s |
+| throughput | **{n_docs / wall:.0f} docs/s** |
+| edges (dist <= 0.05) | {n_edges} |
+| clusters | {n_clusters} |
+| CC path | {'distributed large-star/small-star, ' + str(cc_iters) + ' iterations' if cc_iters else 'driver union-find (edges under cutoff)'} |
+| CC spot check | distributed ({cc_dist_s:.1f} s) vs driver union-find ({cc_drv_s:.1f} s): **{mismatches} mismatches** |
+
+Hot-key escalation log (operator-emitted, no silent caps):
+
+```
+{chr(10).join(hot_lines[:6]) if hot_lines else '(no postings above the cap this run)'}
+```
+"""
+    with open("/root/repo/BENCH/SCALE.md", "w") as f:
+        f.write(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
