@@ -717,6 +717,28 @@ def _q_lpa_round1(spark, sf_dir):
                     F.coalesce("community", F.col("doc_id")).alias("community")))
 
 
+def _q_lpa_refined(spark, sf_dir):
+    """Leiden refinement guarantee (Traag et al. 2019; ref clust-leiden
+    src/leiden.cpp:372-471): after one LPA round, split every community into
+    its connected parts (min-doc relabel) — communities come out internally
+    connected, the property that distinguishes Leiden from Louvain."""
+    from rabbittclust_spark.operators.leiden import (
+        label_propagation,
+        refine_communities,
+    )
+
+    edges = _token_edges(spark, sf_dir)
+    comm = label_propagation(edges, resolution=1.0, max_iter=1,
+                             driver_cutoff=0)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    labels = (docs.join(comm, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("community", F.col("doc_id"))
+                      .alias("community")))
+    return refine_communities(labels, edges)
+
+
 def _q_repdb_stats(spark, sf_dir):
     """RepDB --stats report (src/greedy.cpp:2656-2770): scale + compression +
     cluster-size-distribution + rep coverage aggregates, gated over the
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noise_removal": _q_noise_removal,
         "label_propagation": _q_label_propagation,
         "lpa_round1": _q_lpa_round1,
+        "lpa_refined": _q_lpa_refined,
         "substring_dedup": _q_substring_dedup,
         "distinct_token_counts": _q_distinct_token_counts,
         "hll_cardinality": _q_hll_cardinality,
@@ -1053,6 +1076,45 @@ _SQL_TOKEN_CLUSTERS = f"""
 WITH RECURSIVE {_SQL_TOKEN_ASSIGN}
 SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_rep FROM assign
 """
+
+# one synchronous modularity-gain LPA round over tokedges -> lpa_labels
+# (doc_id, community) with singleton attach; shared by the lpa_round1 and
+# lpa_refined oracles
+_SQL_LPA1_CTES = """
+lsym AS (
+  SELECT src AS u, dst AS v, greatest(0.0, 1.0 - dist) AS w
+  FROM tokedges
+  UNION ALL
+  SELECT dst, src, greatest(0.0, 1.0 - dist) FROM tokedges
+),
+ldeg AS (SELECT u, sum(w) AS k FROM lsym GROUP BY u),
+lm AS (SELECT sum(w) AS m2 FROM lsym),
+lcand AS (
+  SELECT u, v AS nlabel, sum(w) AS w_ul FROM lsym GROUP BY u, v
+  UNION ALL
+  SELECT u, u AS nlabel, 0.0 AS w_ul FROM ldeg
+),
+lscored AS (
+  SELECT c.u, c.nlabel,
+         c.w_ul - 1.0 * d.k *
+           (CASE WHEN c.nlabel = c.u THEN 0.0 ELSE dn.k END)
+           / (SELECT m2 FROM lm) AS score
+  FROM lcand c
+  JOIN ldeg d ON c.u = d.u
+  JOIN ldeg dn ON c.nlabel = dn.u
+),
+lranked AS (
+  SELECT u, nlabel,
+         row_number() OVER (PARTITION BY u
+              ORDER BY round(-score, 9) ASC, nlabel ASC) AS rk
+  FROM lscored
+),
+lnew AS (SELECT u AS doc_id, nlabel AS community
+         FROM lranked WHERE rk = 1),
+lpa_labels AS (
+  SELECT d.doc_id, coalesce(n.community, d.doc_id) AS community
+  FROM documents d LEFT JOIN lnew n ON d.doc_id = n.doc_id
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1443,38 +1505,21 @@ def oracle_sql() -> dict[str, str]:
         "incremental_append": _SQL_TOKEN_CLUSTERS,  # incremental MUST == batch
         "lpa_round1": f"""
             WITH {_TOKEN_EDGES_CTE},
-            lsym AS (
-              SELECT src AS u, dst AS v, greatest(0.0, 1.0 - dist) AS w
-              FROM tokedges
-              UNION ALL
-              SELECT dst, src, greatest(0.0, 1.0 - dist) FROM tokedges
+            {_SQL_LPA1_CTES}
+            SELECT doc_id, community FROM lpa_labels
+        """,
+        "lpa_refined": f"""
+            WITH RECURSIVE {_TOKEN_EDGES_CTE},
+            {_SQL_LPA1_CTES},
+            intra AS (
+              SELECT e.src, e.dst FROM tokedges e
+              JOIN lpa_labels a ON e.src = a.doc_id
+              JOIN lpa_labels b ON e.dst = b.doc_id
+              WHERE a.community = b.community
             ),
-            ldeg AS (SELECT u, sum(w) AS k FROM lsym GROUP BY u),
-            lm AS (SELECT sum(w) AS m2 FROM lsym),
-            lcand AS (
-              SELECT u, v AS nlabel, sum(w) AS w_ul FROM lsym GROUP BY u, v
-              UNION ALL
-              SELECT u, u AS nlabel, 0.0 AS w_ul FROM ldeg
-            ),
-            lscored AS (
-              SELECT c.u, c.nlabel,
-                     c.w_ul - 1.0 * d.k *
-                       (CASE WHEN c.nlabel = c.u THEN 0.0 ELSE dn.k END)
-                       / (SELECT m2 FROM lm) AS score
-              FROM lcand c
-              JOIN ldeg d ON c.u = d.u
-              JOIN ldeg dn ON c.nlabel = dn.u
-            ),
-            lranked AS (
-              SELECT u, nlabel,
-                     row_number() OVER (PARTITION BY u
-                          ORDER BY round(-score, 9) ASC, nlabel ASC) AS rk
-              FROM lscored
-            ),
-            lnew AS (SELECT u AS doc_id, nlabel AS community
-                     FROM lranked WHERE rk = 1)
-            SELECT d.doc_id, coalesce(n.community, d.doc_id) AS community
-            FROM documents d LEFT JOIN lnew n ON d.doc_id = n.doc_id
+            {_sql_cc('intra', 'rcomp')}
+            SELECT l.doc_id, coalesce(r.cluster_id, l.doc_id) AS community
+            FROM lpa_labels l LEFT JOIN rcomp r ON l.doc_id = r.doc_id
         """,
         "dbscan": f"""
             WITH RECURSIVE {_TOKEN_EDGES_CTE},

@@ -50,6 +50,18 @@ class PipelineConfig:
                                   # at the d=0.05 boundary (J=0.212) that is
                                   # 4.9e-4 — inside the recall>=0.99 budget
                                   # with 31x smaller postings than full-sig
+    min_probe_common: int = 1     # candidates must share >= this many of the
+                                  # bottom-B probe hashes before the exact
+                                  # verify join.  1 (default) = exact
+                                  # index-mode parity.  2 is the scale lever
+                                  # for common-phrase-dense corpora: most
+                                  # accidental candidates share exactly one
+                                  # probe hash, and the verify join ships two
+                                  # full sketches per candidate — at the
+                                  # d=0.05 boundary (J=0.212, B=32) the extra
+                                  # miss is P[Binom(32,.212)<=1] ~= 5e-3,
+                                  # and for real dup pairs (J>=0.3) <= 1.3e-4,
+                                  # inside the recall>=0.99 budget
     max_posting: int | None = 20_000  # cap posting-list length (ref
                                     # --max-posting, src/dbscan.cpp:95-220).
                                     # Finite BY DEFAULT: a boilerplate near-dup
@@ -118,6 +130,8 @@ class PipelineConfig:
                 f"hot_hash_mode must be 'star' or 'drop', got {self.hot_hash_mode!r}")
         if self.community_knn is not None and self.community_knn < 1:
             raise ValueError("community_knn must be >= 1")
+        if self.min_probe_common < 1:
+            raise ValueError("min_probe_common must be >= 1")
         if self.simhash_hamming_max < 1:
             # num_blocks = hamming_max + 1 must be >= 2 so the pigeonhole
             # block keys fit int64 (functions/simhash.simhash_blocks)
@@ -200,8 +214,9 @@ _STAGE_FIELDS: dict[str, tuple[str, ...]] = {
                  "min_sketch_size", "lowercase", "hash_seed", "min_len",
                  "perm_count", "rows_per_band", "perm_seed", "exact_prededup"),
     "edges": ("threshold", "mash_k", "shingle_k", "pair_mode", "probe_hashes",
-              "max_posting", "hot_hash_mode", "containment",
-              "containment_variant", "perm_count", "rows_per_band"),
+              "min_probe_common", "max_posting", "hot_hash_mode",
+              "containment", "containment_variant", "perm_count",
+              "rows_per_band"),
     "membership": (),
     "assignments": (),
     "dedup_groups": ("dedup_dist",),

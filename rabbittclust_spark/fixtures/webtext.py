@@ -47,6 +47,13 @@ class WebtextParams:
     min_doc_tokens: int = 300
     max_doc_tokens: int = 1500
     short_doc_tokens: int = 5
+    # effective vocabulary size.  4096 (the default, = len(_VOCAB)) keeps
+    # every historical corpus byte-identical; large-scale stress corpora use
+    # a bigger vocab so cross-doc shingle density scales like real webtext
+    # (at 1M docs a 4096-token vocab puts every token bigram in ~16 docs --
+    # pathological common-phrase density).  Sizes above 4096 extend the
+    # token name sequence (tok0000..tokN, zero-padded to >=4 digits).
+    vocab_size: int = 4096
 
     @property
     def num_docs(self) -> int:
@@ -97,10 +104,14 @@ def _rng(seed: int, salt: int, key: int) -> np.random.Generator:
     return np.random.default_rng([seed, salt, key])
 
 
+def _vocab_word(t: int) -> str:
+    return _VOCAB[t] if t < len(_VOCAB) else f"tok{t:04d}"
+
+
 def _seed_tokens(p: WebtextParams, cluster: int) -> np.ndarray:
     rng = _rng(p.seed, 1, cluster)
     n = int(rng.integers(p.min_doc_tokens, p.max_doc_tokens + 1))
-    return rng.integers(0, len(_VOCAB), size=n)
+    return rng.integers(0, p.vocab_size, size=n)
 
 
 def _cluster_rate(p: WebtextParams, cluster: int) -> float:
@@ -109,12 +120,13 @@ def _cluster_rate(p: WebtextParams, cluster: int) -> float:
     return float(_MUTATION_RATES[cluster % len(_MUTATION_RATES)])
 
 
-def _mutate(tokens: np.ndarray, rate: float, rng: np.random.Generator) -> np.ndarray:
+def _mutate(tokens: np.ndarray, rate: float, rng: np.random.Generator,
+            vocab_size: int = len(_VOCAB)) -> np.ndarray:
     """Token-level substitutions / insertions / deletions at ``rate``."""
     out: list[int] = []
     ops = rng.random(len(tokens))
     kinds = rng.integers(0, 3, size=len(tokens))
-    subs = rng.integers(0, len(_VOCAB), size=len(tokens))
+    subs = rng.integers(0, vocab_size, size=len(tokens))
     for i, t in enumerate(tokens):
         if ops[i] >= rate:
             out.append(int(t))
@@ -130,7 +142,7 @@ def _mutate(tokens: np.ndarray, rate: float, rng: np.random.Generator) -> np.nda
 
 
 def _render(tokens: np.ndarray) -> str:
-    words = [_VOCAB[t] for t in tokens]
+    words = [_vocab_word(int(t)) for t in tokens]
     paras = [" ".join(words[i:i + _PARA_TOKENS])
              for i in range(0, len(words), _PARA_TOKENS)]
     return "\n\n".join(paras)
@@ -148,7 +160,7 @@ def generate_doc(doc_id: int, p: WebtextParams) -> dict:
         if kind == "seed" or kind == "exact":
             toks = base
         elif kind == "near":
-            toks = _mutate(base, rate, rng)
+            toks = _mutate(base, rate, rng, p.vocab_size)
         else:  # containment: random 10-90% slice of the seed
             frac = 0.1 + 0.8 * rng.random()
             n = max(int(len(base) * frac), 20)
@@ -158,11 +170,11 @@ def generate_doc(doc_id: int, p: WebtextParams) -> dict:
         toks = _seed_tokens(p, cluster)
         rate = 0.0
     elif kind == "short":
-        toks = _rng(p.seed, 4, doc_id).integers(0, len(_VOCAB), size=p.short_doc_tokens)
+        toks = _rng(p.seed, 4, doc_id).integers(0, p.vocab_size, size=p.short_doc_tokens)
         rate = 0.0
     else:  # hot: shared boilerplate + unique tail
-        boiler = _rng(p.seed, 5, 0).integers(0, len(_VOCAB), size=_BOILERPLATE_TOKENS)
-        unique = rng.integers(0, len(_VOCAB), size=300)
+        boiler = _rng(p.seed, 5, 0).integers(0, p.vocab_size, size=_BOILERPLATE_TOKENS)
+        unique = rng.integers(0, p.vocab_size, size=300)
         toks = np.concatenate([boiler, unique])
         rate = 0.0
 

@@ -71,6 +71,38 @@ def knn_cap_edges(edges: DataFrame, k: int, src: str = "src",
     return kept.join(pair_dist, ["src", "dst"])
 
 
+def refine_communities(labels: DataFrame, edges: DataFrame,
+                       src: str = "src", dst: str = "dst") -> DataFrame:
+    """Leiden refinement pass (Traag, Waltman & van Eck 2019; the reference's
+    community_leiden backend, src/leiden.cpp:372-471): enforce the guarantee
+    that distinguishes Leiden from Louvain — every community is internally
+    CONNECTED.  Keeps only intra-community edges, runs connected components
+    on the induced subgraph, and relabels every node by its connected part's
+    minimum doc_id; label-sharing nodes with no intra-community path split
+    into separate communities, and members with no intra-community edge at
+    all become singletons.
+
+    ``labels``: (doc_id, community).  Pure joins + the existing CC operator
+    — same scale profile as connected components."""
+    from rabbittclust_spark.operators.components import connected_components
+
+    lab = labels.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("community").cast("long").alias("community"))
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    intra = (e.join(lab.select(F.col("doc_id").alias("src"),
+                               F.col("community").alias("c1")), "src")
+             .join(lab.select(F.col("doc_id").alias("dst"),
+                              F.col("community").alias("c2")), "dst")
+             .where(F.col("c1") == F.col("c2"))
+             .select("src", "dst"))
+    comp = connected_components(intra).withColumnRenamed("cluster_id",
+                                                         "refined")
+    return (lab.join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("refined", F.col("doc_id")).alias("community")))
+
+
 def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       max_iter: int = 20, src: str = "src", dst: str = "dst",
                       dist_col: str | None = "dist",

@@ -177,13 +177,24 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
     probes, star = _apply_posting_cap(probes, "h", cfg, "probe")
     pa, pb = probes.alias("a"), probes.alias("b")
-    cand = (
+    matched = (
         pa.join(pb, F.col("a.h") == F.col("b.h"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(size_ratio_pred(F.col("a.n"), F.col("b.n"), cfg.max_size_ratio()))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
     )
+    if cfg.min_probe_common > 1:
+        # scale lever for common-phrase-dense corpora (see config.py): most
+        # ACCIDENTAL candidates share exactly one probe hash, while real dup
+        # pairs share many — the count is a map-side-combinable 16-byte-row
+        # aggregate, vastly cheaper than shipping two full sketches per
+        # candidate through the verify join it gates
+        cand = (matched.groupBy("src", "dst")
+                .agg(F.count("*").alias("_pc"))
+                .where(F.col("_pc") >= cfg.min_probe_common)
+                .select("src", "dst"))
+    else:
+        cand = matched.distinct()
     if star is not None:
         # escalated hot-hash candidates verify exactly like the others; the
         # size-ratio pred is skipped for them, which is safe — ratio-violating

@@ -92,3 +92,26 @@ def test_greedy_containment_variant(spark):
         raise AssertionError("bogus variant accepted")
     except ValueError:
         pass
+
+
+def test_min_probe_common_parity(spark):
+    """min_probe_common=2 (the verify-join scale lever for phrase-dense
+    corpora) keeps assignments identical to the default on the standard
+    fixture: real dup pairs share many bottom-B probe hashes, accidental
+    candidates the filter drops share one."""
+    import dataclasses
+
+    from rabbittclust_spark.fixtures.webtext import WebtextParams, generate_pandas
+    from rabbittclust_spark.operators.dedup import minhash_dedup
+
+    corpus = generate_pandas(WebtextParams(
+        num_clusters=8, members_per_cluster=5, num_singletons=10,
+        num_short=2, hot_cluster_size=10))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    base = PipelineConfig(min_len=100)
+    a1 = sorted((r.doc_id, r.cluster_id) for r in
+                minhash_dedup(docs, base)["assignments"].collect())
+    a2 = sorted((r.doc_id, r.cluster_id) for r in
+                minhash_dedup(docs, dataclasses.replace(
+                    base, min_probe_common=2))["assignments"].collect())
+    assert a1 == a2 and len(a1) > 0

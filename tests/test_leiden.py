@@ -156,3 +156,34 @@ def test_reference_twin_vectorized_2m_edges():
     wall = time.time() - t0
     assert len(labels) > 300_000
     assert wall < 60.0, f"vectorized twin took {wall:.1f}s on 2M edges"
+
+
+def test_refine_communities_splits_disconnected(spark):
+    """The Leiden guarantee (Traag et al. 2019): a label shared by two
+    internally disconnected groups splits into per-component communities;
+    members with no intra-community edge become singletons."""
+    from rabbittclust_spark.operators.leiden import refine_communities
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7), (8, 7)],
+        "doc_id long, community long")
+    # community 1 has two parts {1,2} and {3,4} plus isolated 5; the 3-7
+    # edge crosses communities and must NOT merge them; 7-8 stays whole
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (3, 7), (7, 8)], "src long, dst long")
+    got = {r.doc_id: r.community
+           for r in refine_communities(labels, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 7: 7, 8: 7}
+
+
+def test_refine_communities_connected_noop(spark):
+    """A connected community is only canonicalized (min-doc id), never
+    split."""
+    from rabbittclust_spark.operators.leiden import refine_communities
+
+    labels = spark.createDataFrame(
+        [(10, 12), (11, 12), (12, 12)], "doc_id long, community long")
+    edges = spark.createDataFrame([(10, 11), (11, 12)], "src long, dst long")
+    got = {r.doc_id: r.community
+           for r in refine_communities(labels, edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10}

@@ -52,6 +52,14 @@ def main() -> None:
                     help="hot-boilerplate cluster size (> default cap 20000)")
     ap.add_argument("--min-tokens", type=int, default=150)
     ap.add_argument("--max-tokens", type=int, default=400)
+    # 65536, not the fixture default 4096: at 1M docs a 4096-token vocab
+    # puts every token bigram in ~16 docs, so bottom-32 probe postings
+    # produce O(100M) accidental 1-shared-hash candidates and the verify
+    # join's two-full-sketches-per-candidate shuffle exceeds this sandbox's
+    # disk.  A 65536 vocab restores realistic cross-doc shingle density;
+    # the cfg.min_probe_common>=2 knob is the engine-side lever for truly
+    # phrase-dense corpora.
+    ap.add_argument("--vocab", type=int, default=65_536)
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
 
@@ -67,7 +75,8 @@ def main() -> None:
                       num_short=args.clusters // 4,
                       hot_cluster_size=args.hot,
                       min_doc_tokens=args.min_tokens,
-                      max_doc_tokens=args.max_tokens)
+                      max_doc_tokens=args.max_tokens,
+                      vocab_size=args.vocab)
     spark = get_spark("scale-stress", master="local[32]",
                       shuffle_partitions=128,
                       extra_conf={"spark.driver.memory":
@@ -151,7 +160,9 @@ Corpus: {args.clusters} near-dup clusters x {args.members} members +
 {args.clusters * 2} singletons + {args.clusters // 4} short docs + a
 **{args.hot}-doc hot-boilerplate cluster** (deliberately ABOVE the default
 max_posting=20000, so the skew path fires on a real run);
-{args.min_tokens}-{args.max_tokens} tokens/doc; {n_gen} docs generated.
+{args.min_tokens}-{args.max_tokens} tokens/doc over a {args.vocab}-token
+vocabulary (scale-realistic cross-doc shingle density — see --vocab help);
+{n_gen} docs generated.
 
 Config: `PipelineConfig()` **defaults** — probe mode, max_posting=20000,
 hot_hash_mode=star, exact pre-dedup.
