@@ -62,16 +62,25 @@ class PipelineConfig:
                                   # miss is P[Binom(32,.212)<=1] ~= 5e-3,
                                   # and for real dup pairs (J>=0.3) <= 1.3e-4,
                                   # inside the recall>=0.99 budget
-    max_posting: int | None = 20_000  # cap posting-list length (ref
-                                    # --max-posting, src/dbscan.cpp:95-220).
-                                    # Finite BY DEFAULT: a boilerplate near-dup
-                                    # group of p docs sharing bottom-B hashes
-                                    # otherwise yields O(p^2) candidates from a
-                                    # single key at web scale; with the default
-                                    # hot_hash_mode="star" hot keys escalate to
-                                    # O(p) anchor candidates with zero recall
-                                    # loss for mutual near-dup groups
-                                    # (tests/test_hot_keys.py). None = unlimited.
+    max_posting: int | None = 2_000  # cap posting-list length (ref
+                                    # --max-posting, src/dbscan.cpp:95-220;
+                                    # the reference ships it disabled).
+                                    # Finite BY DEFAULT, and sized by the
+                                    # JOIN-OUTPUT budget, not posting length:
+                                    # a key with posting p emits ~p^2/2 join
+                                    # rows, so the cap bounds the worst key
+                                    # to ~2M rows (20k would permit 2x10^8 —
+                                    # measured blowing 60 GB of shuffle on a
+                                    # 1M-doc corpus whose boilerplate hashes
+                                    # sat just under that cap).  Recall: with
+                                    # hot_hash_mode="star" capped keys
+                                    # escalate to O(p) anchor candidates —
+                                    # lossless for mutual near-dup groups
+                                    # (tests/test_hot_keys.py) — and a true
+                                    # near-dup pair shares ~J*B of its
+                                    # bottom-B probes, so losing the hot
+                                    # subset alone almost never loses the
+                                    # pair. None = unlimited.
     hot_hash_mode: str = "star"   # what happens to postings above max_posting:
                                   # "star" = escalate via anchor-star candidate
                                   # pairs (min-doc anchor linked to every other

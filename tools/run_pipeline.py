@@ -108,7 +108,7 @@ def main() -> None:
                     choices=["index", "probe", "banded"])
     # the config's skew-safe finite default, NOT None: the CLI must not
     # silently disable the hot-posting cap; 0 = unlimited (explicit opt-out)
-    ap.add_argument("--max-posting", type=int, default=20_000,
+    ap.add_argument("--max-posting", type=int, default=2_000,
                     help="posting-list cap (0 = unlimited)")
     ap.add_argument("--hot-hash-mode", default="star", choices=["star", "drop"])
     ap.add_argument("--dedup-dist", type=float, default=None)

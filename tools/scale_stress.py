@@ -3,7 +3,7 @@
 Evidence for the 100x-design claim beyond the bench corpus (BENCH/SCALE.md):
 
 - the default skew path in anger: a hot-boilerplate cluster LARGER than the
-  default max_posting=20000, so the posting cap + star escalation fire on a
+  default max_posting=2000, so the posting cap + star escalation fire on a
   real run (counts captured from the operator's own log lines — no silent
   caps);
 - distributed large-star/small-star CC on a multi-million-edge graph (above
@@ -49,7 +49,7 @@ def main() -> None:
     ap.add_argument("--clusters", type=int, default=120_000)
     ap.add_argument("--members", type=int, default=6)
     ap.add_argument("--hot", type=int, default=25_000,
-                    help="hot-boilerplate cluster size (> default cap 20000)")
+                    help="hot-boilerplate cluster size (>> default cap 2000)")
     ap.add_argument("--min-tokens", type=int, default=150)
     ap.add_argument("--max-tokens", type=int, default=400)
     # 65536, not the fixture default 4096: at 1M docs a 4096-token vocab
@@ -101,7 +101,7 @@ def main() -> None:
         lg.setLevel(logging.INFO)
         lg.addHandler(cap)
 
-    cfg = PipelineConfig()  # DEFAULTS: probe mode, max_posting=20000, star
+    cfg = PipelineConfig()  # DEFAULTS: probe mode, max_posting=2000, star
     t0 = time.time()
     out = minhash_dedup(docs, cfg)
     assignments = materialize(out["assignments"], "stress_assign")
@@ -110,6 +110,9 @@ def main() -> None:
     edges = materialize(out["edges"], "stress_edges")
     n_edges = edges.count()
     n_clusters = assignments.select("cluster_id").distinct().count()
+    from pyspark.sql import functions as F
+    largest = (assignments.groupBy("cluster_id").count()
+               .agg(F.max("count")).collect()[0][0])
 
     hot_lines = [l for l in cap.lines if "hot" in l.lower() or "cap" in l.lower()]
     cc_lines = [l for l in cap.lines if "converged" in l]
@@ -147,6 +150,7 @@ def main() -> None:
         "cc_driver_sec": round(cc_drv_s, 1),
         "cc_mismatches": mismatches,
         "hot_cluster_size": args.hot,
+        "largest_cluster": int(largest),
         "hot_key_log": hot_lines[:10],
     }
     print(json.dumps(res))
@@ -159,12 +163,12 @@ local[32], shuffle_partitions=128, driver 24g).
 Corpus: {args.clusters} near-dup clusters x {args.members} members +
 {args.clusters * 2} singletons + {args.clusters // 4} short docs + a
 **{args.hot}-doc hot-boilerplate cluster** (deliberately ABOVE the default
-max_posting=20000, so the skew path fires on a real run);
+max_posting=2000, so the skew path fires on a real run);
 {args.min_tokens}-{args.max_tokens} tokens/doc over a {args.vocab}-token
 vocabulary (scale-realistic cross-doc shingle density — see --vocab help);
 {n_gen} docs generated.
 
-Config: `PipelineConfig()` **defaults** — probe mode, max_posting=20000,
+Config: `PipelineConfig()` **defaults** — probe mode, max_posting=2000,
 hot_hash_mode=star, exact pre-dedup.
 
 | metric | value |
@@ -174,6 +178,7 @@ hot_hash_mode=star, exact pre-dedup.
 | throughput | **{n_docs / wall:.0f} docs/s** |
 | edges (dist <= 0.05) | {n_edges} |
 | clusters | {n_clusters} |
+| largest cluster | {largest} (hot cluster = {args.hot} mutual near-dups: fully recovered through the cap iff largest >= {args.hot}) |
 | CC path | {'distributed large-star/small-star, ' + str(cc_iters) + ' iterations' if cc_iters else 'driver union-find (edges under cutoff)'} |
 | CC spot check | distributed ({cc_dist_s:.1f} s) vs driver union-find ({cc_drv_s:.1f} s): **{mismatches} mismatches** |
 
