@@ -136,7 +136,36 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--levels", type=int, nargs="+", default=[4, 8, 16, 32])
     ap.add_argument("--pair", type=int, nargs=2, default=[4, 16])
+    ap.add_argument("--interleaved", type=int, default=0, metavar="N",
+                    help="run N interleaved (pair[0], pair[1]) rounds and "
+                         "report per-pair efficiency instead of the "
+                         "sequential matrix — the right methodology when "
+                         "the host's CPU allocation drifts between runs "
+                         "(each pair shares one host window)")
     args = ap.parse_args()
+
+    if args.interleaved:
+        if not os.path.exists(CORPUS_DIR):
+            generate_corpus(args.clusters, args.members, args.min_tokens,
+                            args.max_tokens)
+        n_lo, n_hi = args.pair
+        pairs = []
+        for i in range(args.interleaved):
+            wait_for_quiet()
+            w_lo, docs = run_flagship(n_lo)
+            wait_for_quiet()
+            w_hi, _ = run_flagship(n_hi)
+            eff = w_lo / ((n_hi // n_lo) * w_hi)
+            pairs.append({"round": i, f"wall{n_lo}": round(w_lo, 1),
+                          f"wall{n_hi}": round(w_hi, 1),
+                          "efficiency": round(eff, 3)})
+            print(json.dumps(pairs[-1]), flush=True)
+        effs = sorted(p["efficiency"] for p in pairs)
+        med = effs[len(effs) // 2] if len(effs) % 2 else \
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+        print(json.dumps({"pairs": pairs, "median_efficiency": round(med, 3),
+                          "best_pair_efficiency": max(effs), "docs": docs}))
+        return
 
     if not args.skip_gen or not os.path.exists(CORPUS_DIR):
         t0 = time.time()
