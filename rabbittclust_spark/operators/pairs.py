@@ -71,20 +71,22 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     """
     if cfg.max_posting is None:
         return postings, None
-    from rabbittclust_spark.sources.tables import materialize
 
     counts = postings.groupBy(key).agg(F.count("*").alias("_pl"))
-    # the hot set is tiny (keys hotter than the cap) — materialize once and
-    # broadcast it so the cap is two small anti-/semi-joins, not a shuffle
-    hot = materialize(counts.where(F.col("_pl") > cfg.max_posting),
-                      f"hot_{label}")
-    row = hot.agg(F.count("*").alias("k"),
-                  F.coalesce(F.sum("_pl"), F.lit(0)).alias("p")).collect()[0]
-    n_hot, n_post = int(row["k"]), int(row["p"])
+    # the hot set is keys hotter than the cap — bounded by
+    # total_postings/cap rows, so collecting it is a broadcast-sized
+    # driver transfer by construction (one job, no parquet round-trip;
+    # this path runs on EVERY probe/index/banded build, so its no-hot-keys
+    # cost must stay at a single aggregation)
+    hot_rows = counts.where(F.col("_pl") > cfg.max_posting).collect()
+    n_hot = len(hot_rows)
+    n_post = sum(int(r["_pl"]) for r in hot_rows)
     if n_hot == 0:
-        # common case: nothing hot — skip the anti-join entirely so the
-        # default finite cap costs one count job and nothing in the plan
+        # common case: nothing hot — the finite default cap costs one
+        # count job and changes nothing in the plan
         return postings, None
+    hot = postings.sparkSession.createDataFrame(
+        [(r[key],) for r in hot_rows], schema=counts.select(key).schema)
     cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
     star_mode = allow_star and cfg.hot_hash_mode == "star"
     _LOG.warning(
