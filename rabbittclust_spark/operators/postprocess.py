@@ -292,3 +292,90 @@ def format_clusters_text(assignments_with_meta: pd.DataFrame) -> str:
         for _, r in grp.iterrows():
             lines.append(f"\t{int(r.local_idx)}\t{int(r.doc_id)}\t{int(r.len)}\t{r['name']}")
     return "\n".join(lines) + "\n"
+
+
+def format_repdb_stats(spark_or_stats, sketches: "DataFrame | None" = None,
+                       cfg=None) -> str:
+    """RepDB Statistics Report text formatter — output parity with the
+    reference's print_stats sections (src/greedy.cpp:2656-2770): [Basic
+    Info] / [Scale] / [Inverted Index] / [Cluster Size Distribution] /
+    [Representative Sketch Sizes] / [Genome Coverage].
+
+    ``spark_or_stats`` is the one-row DataFrame from :func:`repdb_stats`
+    (with or without the coverage columns); ``sketches`` (doc_id, n, sig)
+    optionally supplies the inverted-index and sketch-size sections.  All
+    numbers come from partial-aggregable Spark aggs; only the single stats
+    row is collected."""
+    s = spark_or_stats.collect()[0]
+    lines = [
+        "=" * 40,
+        "        RepDB Statistics Report",
+        "=" * 40,
+        "",
+    ]
+    if cfg is not None:
+        lines += [
+            "[Basic Info]",
+            f"  Threshold:              {cfg.threshold}",
+            f"  Shingle k:              {cfg.shingle_k}",
+            f"  Sketch size:            {cfg.sketch_size}",
+            f"  Pair mode:              {cfg.pair_mode}",
+            "",
+        ]
+    lines += [
+        "[Scale]",
+        f"  Total docs:             {s['n_docs']}",
+        f"  Representatives:        {s['n_reps']}",
+        f"  Clusters:               {s['n_reps']}",
+        f"  Compression ratio:      {s['compression_pct']:.2f}%",
+        "",
+    ]
+    if sketches is not None:
+        idx = sketches.select(F.explode("sig").alias("h")).groupBy("h") \
+            .agg(F.count("*").alias("p")).agg(
+                F.count("*").alias("uniq"),
+                F.coalesce(F.sum("p"), F.lit(0)).alias("tot"),
+                F.round(F.avg("p"), 2).alias("avg"),
+                F.coalesce(F.max("p"), F.lit(0)).alias("mx")).collect()[0]
+        lines += [
+            "[Inverted Index]",
+            f"  Unique hashes:          {idx['uniq']}",
+            f"  Total postings:         {idx['tot']}",
+            f"  Avg posting length:     {idx['avg']:.2f}",
+            f"  Max posting length:     {idx['mx']}",
+            "",
+        ]
+    singleton_pct = (100.0 * s["n_singletons"] / s["n_reps"]
+                     if s["n_reps"] else 0.0)
+    lines += [
+        "[Cluster Size Distribution]",
+        f"  Min cluster size:       {s['min_size']}",
+        f"  Max cluster size:       {s['max_size']}",
+        f"  Mean cluster size:      {s['mean_size']:.2f}",
+        f"  Median cluster size:    {s['median_size']:.0f}",
+        f"  Singletons:             {s['n_singletons']} ({singleton_pct:.1f}%)",
+        f"  P90 cluster size:       {s['p90_size']:.0f}",
+        f"  P95 cluster size:       {s['p95_size']:.0f}",
+        f"  P99 cluster size:       {s['p99_size']:.0f}",
+        "",
+    ]
+    if sketches is not None:
+        sk = sketches.agg(F.min("n").alias("mn"), F.max("n").alias("mx"),
+                          F.round(F.avg("n"), 1).alias("avg")).collect()[0]
+        lines += [
+            "[Representative Sketch Sizes]",
+            f"  Min sketch size:        {sk['mn']}",
+            f"  Max sketch size:        {sk['mx']}",
+            f"  Mean sketch size:       {sk['avg']:.1f}",
+            "",
+        ]
+    if "total_len" in s.asDict():
+        lines += [
+            "[Doc Coverage]",
+            f"  Total text length:      {s['total_len']} chars",
+            f"  Representative length:  {s['rep_len']} chars",
+            f"  Coverage ratio:         {s['coverage_pct']:.2f}%",
+            "",
+        ]
+    lines.append("=" * 40)
+    return "\n".join(lines)

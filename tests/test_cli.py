@@ -126,3 +126,20 @@ def test_cli_auto_threshold_report(spark, cli_dirs):
     assert text.startswith("# Automatic Threshold Selection Analysis")
     assert "## Edge Length Statistics" in text
     assert "## Optimal Threshold (Recommended)" in text
+
+
+def test_cli_stats_report(spark, cli_dirs, capsys):
+    """--stats prints the RepDB statistics report for the built state
+    (reference print_stats sections, src/greedy.cpp:2656-2770)."""
+    _run(["--input", cli_dirs["in"], "--output", cli_dirs["out"],
+          "-m", "100", "--stats"])
+    out = capsys.readouterr().out
+    for section in ("RepDB Statistics Report", "[Basic Info]", "[Scale]",
+                    "[Inverted Index]", "[Cluster Size Distribution]",
+                    "[Representative Sketch Sizes]"):
+        assert section in out
+    import re
+    m = re.search(r"Total docs:\s+(\d+)", out)
+    n = spark.read.parquet(os.path.join(cli_dirs["out"], "assignments")).count()
+    assert m and int(m.group(1)) == n
+    assert re.search(r"Compression ratio:\s+\d+\.\d\d%", out)

@@ -130,6 +130,9 @@ def main() -> None:
                     help="RepDB top-k query against the built state")
     ap.add_argument("--db-assign", default=None, metavar="QUERY_INPUT",
                     help="RepDB assign-or-novel against the built state")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the RepDB statistics report for the built "
+                         "state (reference --stats, greedy.cpp print_stats)")
     ap.add_argument("--top-k", type=int, default=5)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
@@ -141,6 +144,22 @@ def main() -> None:
     cfg = _build_cfg(args)
 
     from rabbittclust_spark.plans.pipeline import DedupPipeline
+
+    if args.stats:
+        from rabbittclust_spark.operators.postprocess import (
+            format_repdb_stats,
+            repdb_stats,
+        )
+
+        cfg = _adopt_build_config(args.output, cfg)
+        sk_path, as_path, _ = _state_paths(args.output)
+        assign = spark.read.parquet(as_path)
+        sketches = spark.read.parquet(sk_path)
+        stats = repdb_stats(assign.select("doc_id", "cluster_id", "is_rep"))
+        print(format_repdb_stats(stats, sketches=sketches, cfg=cfg))
+        if owns_session:
+            spark.stop()
+        return
 
     if args.db_query or args.db_assign:
         # query modes reuse the built state's sketch table as the RepDB,
