@@ -131,12 +131,13 @@ def test_cli_auto_threshold_report(spark, cli_dirs):
 def test_cli_stats_report(spark, cli_dirs, capsys):
     """--stats prints the RepDB statistics report for the built state
     (reference print_stats sections, src/greedy.cpp:2656-2770)."""
-    _run(["--input", cli_dirs["in"], "--output", cli_dirs["out"],
-          "-m", "100", "--stats"])
+    base = ["--input", cli_dirs["in"], "--output", cli_dirs["out"], "-m", "100"]
+    _run(base)  # build (resume makes this a no-op when already built)
+    _run(base + ["--stats"])
     out = capsys.readouterr().out
     for section in ("RepDB Statistics Report", "[Basic Info]", "[Scale]",
                     "[Inverted Index]", "[Cluster Size Distribution]",
-                    "[Representative Sketch Sizes]"):
+                    "[Representative Sketch Sizes]", "[Doc Coverage]"):
         assert section in out
     import re
     m = re.search(r"Total docs:\s+(\d+)", out)

@@ -155,7 +155,8 @@ def main() -> None:
         sk_path, as_path, _ = _state_paths(args.output)
         assign = spark.read.parquet(as_path)
         sketches = spark.read.parquet(sk_path)
-        stats = repdb_stats(assign.select("doc_id", "cluster_id", "is_rep"))
+        stats = repdb_stats(assign.select("doc_id", "cluster_id", "is_rep"),
+                            doc_lens=sketches.select("doc_id", "len"))
         print(format_repdb_stats(stats, sketches=sketches, cfg=cfg))
         if owns_session:
             spark.stop()
