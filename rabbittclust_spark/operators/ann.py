@@ -12,10 +12,14 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_ANN_LOG = logging.getLogger(__name__)
 
 from rabbittclust_spark.functions.distances import cosine_expr
 from rabbittclust_spark.functions.hashing import splitmix64
@@ -150,25 +154,131 @@ def sparse_srp_bucket_keys(vectors: DataFrame, dim: int, num_planes: int = 4,
     return vectors.select("vec_id", F.explode(F.array(*keys)).alias("bucket"))
 
 
+def sparse_srp_bucket_keys_kernel(vectors: DataFrame, dim: int,
+                                  num_planes: int = 4, num_tables: int = 8,
+                                  seed: int = 7,
+                                  multiprobe: int = 0) -> DataFrame:
+    """Arrow/numpy twin of :func:`sparse_srp_bucket_keys` producing
+    bit-identical (vec_id, bucket) rows.  The column-expression path builds
+    num_tables*(1+multiprobe) keys of num_planes comparisons each; past
+    ~64 total key expressions Spark's whole-stage codegen overflows the
+    64 KB JVM method limit and falls back to interpreted evaluation
+    (observed 'Code grows beyond 64 KB' at num_planes=11, tables=8,
+    multiprobe=2).  This kernel evaluates the same comparisons as one
+    vectorized numpy pass per Arrow batch — use it when
+    num_tables * (1 + min(multiprobe, num_planes)) * num_planes is large
+    (embedding_neardup_lsh switches automatically)."""
+    tables = sparse_srp_index_pairs(dim, num_planes, num_tables, seed)
+    n_probe = min(multiprobe, num_planes)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            ids = pdf["vec_id"].to_numpy()
+            out_ids, out_keys = [], []
+            for t, planes in enumerate(tables):
+                key = np.full(len(pdf), t << 32, dtype=np.int64)
+                for p, (i, j) in enumerate(planes):
+                    key += (vecs[:, i] > vecs[:, j]).astype(np.int64) << p
+                out_ids.append(ids); out_keys.append(key)
+                for p in range(n_probe):
+                    out_ids.append(ids)
+                    out_keys.append(key ^ np.int64(1 << p))
+            yield pd.DataFrame({"vec_id": np.concatenate(out_ids),
+                                "bucket": np.concatenate(out_keys)})
+
+    return vectors.select("vec_id", "vec").mapInPandas(
+        gen, schema="vec_id long, bucket long")
+
+
+def auto_planes(n_vectors: int, target_bucket: int = 64,
+                min_planes: int = 4, max_planes: int = 24) -> int:
+    """num_planes sized to the corpus: aggregate candidate volume is
+    ~N * num_tables * bucket_size / 2 with bucket_size ~= N / 2^planes on
+    mostly-dissimilar data, so planes = ceil(log2(N / target_bucket)) keeps
+    per-vector comparisons ~constant (target_bucket * tables) as N grows —
+    the knob that keeps the LSH path linear instead of
+    O(N^2 / 2^planes).  At 100k vectors -> 11 planes; at 1e9 -> 24."""
+    import math
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes,
+               min(max_planes, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def _apply_bucket_cap(keyed: DataFrame, max_bucket: int | None,
+                      star: bool = True
+                      ) -> tuple[DataFrame, DataFrame | None]:
+    """The LSH analog of the posting cap (operators/pairs._apply_posting_cap,
+    same join-output-budget sizing: a bucket of b vectors emits ~b^2/2
+    candidate rows, so max_bucket=2000 bounds the worst bucket at ~2M).
+    On mostly-dissimilar corpora the sign patterns distribute uniformly, so
+    at N >> 2^num_planes * max_bucket EVERY bucket is over budget — cap +
+    star keeps candidate volume O(N * tables) instead of O(N^2 / 2^planes)
+    (measured: 101k random 64-d vectors at num_planes=8 emit 160M candidate
+    rows and spill >50 GB through the vector-payload verify join).
+    Hot buckets escalate via anchor-star exactly like hot hashes: the
+    min-vec anchor links to every member, exact cosine verify decides, CC
+    consumers recover dense near-dup groups transitively.  Dropped/escalated
+    bucket counts are logged — no silent caps."""
+    if max_bucket is None:
+        return keyed, None
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("_bl"))
+    hot_rows = counts.where(F.col("_bl") > max_bucket).collect()
+    if not hot_rows:
+        return keyed, None
+    _ANN_LOG.warning(
+        "max_bucket=%d: %d hot LSH buckets covering %d keys escalated via "
+        "anchor-star candidates", max_bucket, len(hot_rows),
+        sum(int(r["_bl"]) for r in hot_rows))
+    hot = keyed.sparkSession.createDataFrame(
+        [(r["bucket"],) for r in hot_rows],
+        schema=counts.select("bucket").schema)
+    cold = keyed.join(F.broadcast(hot), "bucket", "left_anti")
+    hot_keys = keyed.join(F.broadcast(hot), "bucket")
+    anchors = hot_keys.groupBy("bucket").agg(F.min("vec_id").alias("_anchor"))
+    star_cand = (hot_keys.join(F.broadcast(anchors), "bucket")
+                 .where(F.col("vec_id") != F.col("_anchor"))
+                 .select(F.least("vec_id", "_anchor").alias("src"),
+                         F.greatest("vec_id", "_anchor").alias("dst"))
+                 .distinct()) if star else None
+    return cold, star_cand
+
+
 def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
                           num_planes: int = 4, num_tables: int = 8,
                           seed: int = 7, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           round_dp: int | None = 6,
-                          multiprobe: int = 0) -> DataFrame:
+                          multiprobe: int = 0,
+                          max_bucket: int | None = 2_000) -> DataFrame:
     """Near-dup pairs via sparse-SRP bucketed candidates + cosine verify:
     (src, dst, cos) with cos >= tau, src < dst.  The scale path: only
     within-bucket pairs are scored (O(candidates), never O(N^2)); recall is
     the standard LSH trade-off (>= 0.99 for high-similarity pairs at these
     defaults, measured in tests/test_ann.py; multiprobe > 0 probes
-    neighboring buckets for more recall at ~(1+multiprobe)x candidates)."""
+    neighboring buckets for more recall at ~(1+multiprobe)x candidates).
+    ``max_bucket`` (finite by default) caps oversized buckets with logged
+    anchor-star escalation — see _apply_bucket_cap; it never fires at the
+    driver-oracle scale, so the DuckDB twin mirrors the uncapped plan."""
     e = _prep(embeddings, id_col, vec_col)
-    keyed = sparse_srp_bucket_keys(e, dim, num_planes=num_planes,
-                                   num_tables=num_tables, seed=seed)
+    # past ~64 key expressions whole-stage codegen overflows the 64 KB JVM
+    # method limit and the expr path runs interpreted — switch to the
+    # bit-identical numpy kernel (equality pinned in tests/test_ann.py)
+    _keys = (sparse_srp_bucket_keys_kernel
+             if num_tables * num_planes * (1 + min(multiprobe, num_planes))
+             > 64 else sparse_srp_bucket_keys)
+    keyed = _keys(e, dim, num_planes=num_planes,
+                  num_tables=num_tables, seed=seed)
+    keyed, star = _apply_bucket_cap(keyed, max_bucket)
     if multiprobe > 0:
-        probed = sparse_srp_bucket_keys(e, dim, num_planes=num_planes,
-                                        num_tables=num_tables, seed=seed,
-                                        multiprobe=multiprobe)
+        probed = _keys(e, dim, num_planes=num_planes,
+                       num_tables=num_tables, seed=seed,
+                       multiprobe=multiprobe)
+        probed, _ = _apply_bucket_cap(probed, max_bucket, star=False)
         a, b = probed.alias("a"), keyed.alias("b")
     else:
         a, b = keyed.alias("a"), keyed.alias("b")
@@ -177,6 +287,8 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
             .select(F.col("a.vec_id").alias("src"),
                     F.col("b.vec_id").alias("dst"))
             .distinct())
+    if star is not None:
+        cand = cand.union(star).distinct()
     return _verify_cosine(cand, e, tau, round_dp)
 
 

@@ -190,3 +190,27 @@ def test_lsh_topk_recall_on_near_neighbors(spark):
           for r in brute_force_topk(df, queries, k=50, round_dp=None).collect()}
     for r in got.collect():
         assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_srp_kernel_matches_exprs(spark):
+    """The numpy bucket-key kernel (codegen-overflow path) emits the exact
+    (vec_id, bucket) multiset the column-expression path does."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.ann import (
+        sparse_srp_bucket_keys,
+        sparse_srp_bucket_keys_kernel,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    for planes, tables, probe in [(4, 8, 0), (11, 8, 2), (6, 3, 1)]:
+        a = sorted((r.vec_id, r.bucket) for r in sparse_srp_bucket_keys(
+            e, 16, num_planes=planes, num_tables=tables, seed=7,
+            multiprobe=probe).collect())
+        b = sorted((r.vec_id, r.bucket) for r in sparse_srp_bucket_keys_kernel(
+            e, 16, num_planes=planes, num_tables=tables, seed=7,
+            multiprobe=probe).collect())
+        assert a == b and len(a) == 200 * tables * (1 + min(probe, planes))
