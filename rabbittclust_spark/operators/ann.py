@@ -293,7 +293,7 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             dim: int | None = None, num_planes: int = 4,
+             dim: int | None = None, num_planes: int | None = 4,
              num_tables: int = 8, seed: int = 7, multiprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_dp: int | None = 6) -> DataFrame:
@@ -302,7 +302,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     corpus's exact keys, only within-bucket candidates are scored, then a
     per-query ranking window.  Returns (query_id, neighbor_id, cos, rank);
     neighbors sharing no bucket are unreachable (the LSH trade-off — top-1
-    recall on high-similarity neighbors is tested in tests/test_ann.py)."""
+    recall on high-similarity neighbors is tested in tests/test_ann.py).
+
+    ``num_planes=None`` sizes the tables to the corpus via
+    :func:`auto_planes` (one count job) — per-query candidate volume is
+    ~tables * (1+multiprobe) * N/2^planes, so a fixed plane count degrades
+    to a linear scan per query as the corpus grows."""
     c = _prep(corpus, id_col, vec_col)
     q = _prep(queries, id_col, vec_col)
     if dim is None:
@@ -311,11 +316,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             return corpus.sparkSession.createDataFrame(
                 [], "query_id long, neighbor_id long, cos double, rank int")
         dim = row["d"]
-    keys_c = sparse_srp_bucket_keys(c, dim, num_planes=num_planes,
-                                    num_tables=num_tables, seed=seed)
-    keys_q = sparse_srp_bucket_keys(q, dim, num_planes=num_planes,
-                                    num_tables=num_tables, seed=seed,
-                                    multiprobe=multiprobe) \
+    if num_planes is None:
+        num_planes = auto_planes(c.count())
+    _keys = (sparse_srp_bucket_keys_kernel
+             if num_tables * num_planes * (1 + min(multiprobe, num_planes))
+             > 64 else sparse_srp_bucket_keys)
+    keys_c = _keys(c, dim, num_planes=num_planes,
+                   num_tables=num_tables, seed=seed)
+    keys_q = _keys(q, dim, num_planes=num_planes,
+                   num_tables=num_tables, seed=seed,
+                   multiprobe=multiprobe) \
         .withColumnRenamed("vec_id", "query_id")
     cand = (keys_q.join(keys_c, "bucket")
             .where(F.col("query_id") != F.col("vec_id"))
