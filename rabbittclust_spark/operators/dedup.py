@@ -149,8 +149,17 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
     keyed = sh.select(
         "doc_id", "simhash",
         F.explode(simhash_block_exprs(F.col("simhash"), num_blocks)).alias("bk"))
+    # block-key skew cap: a block value shared by p docs (identical
+    # boilerplate fingerprint regions at web scale) emits ~p^2/2 join rows;
+    # same --max-posting budget + anchor-star escalation as the MinHash
+    # postings — the pigeonhole recall-1.0 guarantee survives for hot
+    # groups whose members are within hamming_max of the anchor (the
+    # identical/near-identical fingerprint case the cap exists for),
+    # recovered transitively by the CC consumer
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+    keyed, star = _apply_posting_cap(keyed, "bk", cfg, "simhash")
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
+    edges = (
         a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -161,6 +170,22 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
         .where(F.col("hamming") <= cfg.simhash_hamming_max)
         .distinct()
     )
+    if star is not None:
+        # escalated hot-block candidates re-join the (8-byte) fingerprints
+        # for the same exact hamming verification
+        sv = sh.select("doc_id", "simhash")
+        star_edges = (
+            star.join(sv.select(F.col("doc_id").alias("src"),
+                                F.col("simhash").alias("_sa")), "src")
+            .join(sv.select(F.col("doc_id").alias("dst"),
+                            F.col("simhash").alias("_sb")), "dst")
+            .select("src", "dst",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= cfg.simhash_hamming_max)
+        )
+        edges = edges.union(star_edges).distinct()
+    return edges
 
 
 def simhash_dedup(docs: DataFrame, cfg: PipelineConfig,

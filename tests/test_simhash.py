@@ -75,3 +75,30 @@ def test_blocks_rejects_single_block():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         simhash_blocks(123, 1)
+
+
+def test_simhash_hot_block_cap_star_recall(spark):
+    """A hot block value (many near-identical fingerprints) above
+    max_posting escalates via anchor-star with NO assignment change vs the
+    uncapped run — the pigeonhole guarantee survives the cap for
+    within-hamming_max hot groups."""
+    import dataclasses
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.dedup import simhash_dedup
+
+    boiler = ("the same boilerplate navigation header footer text block " * 30)
+    rows = [(i, boiler) for i in range(40)] + [
+        (100 + i, f"totally unrelated document number {i} " * 40)
+        for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = PipelineConfig(min_len=10)
+    capped = dataclasses.replace(base, max_posting=10, hot_hash_mode="star")
+    a1 = sorted((r.doc_id, r.cluster_id) for r in
+                simhash_dedup(docs, base).collect())
+    a2 = sorted((r.doc_id, r.cluster_id) for r in
+                simhash_dedup(docs, capped).collect())
+    assert a1 == a2
+    # the 40 identical docs share one cluster in both
+    boiler_clusters = {c for d, c in a1 if d < 100}
+    assert len(boiler_clusters) == 1
