@@ -221,7 +221,8 @@ def token_ngrams(df: DataFrame, n: int, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
                         block_col: str | None = None, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_posting: int | None = 2_000) -> DataFrame:
     """Token n-gram Jaccard similar pairs: (src, dst, common, jaccard).
 
     Entirely JVM-side (no UDFs).  ``block_col`` restricts comparisons to a
@@ -237,6 +238,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
         join_cond = ["gram", "_blk"]
     else:
         join_cond = ["gram"]
+    # hot-gram cap (reference --max-posting semantics, drop mode — this is
+    # a COUNTING join, so star escalation cannot apply; dropped grams
+    # underestimate `common` for pairs sharing them, exactly like the
+    # reference's capped inverted index).  Never fires at oracle scale.
+    if max_posting is not None:
+        import dataclasses
+
+        from rabbittclust_spark.config import PipelineConfig
+        from rabbittclust_spark.operators.pairs import _apply_posting_cap
+
+        g, _ = _apply_posting_cap(
+            g, "gram",
+            dataclasses.replace(PipelineConfig(), max_posting=max_posting),
+            "ngram", allow_star=False)
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = g.alias("a"), g.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_cond]
@@ -276,6 +291,16 @@ def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
     sk = _mat(sketch_wminhash(docs, cfg, num_samples=num_samples,
                               id_col=id_col, text_col=text_col), "wminhash")
     post = sk.select("doc_id", F.posexplode("sig").alias("pos", "key"))
+    # hot-(pos,key) cap: identical/boilerplate docs agree at EVERY position,
+    # so one (pos, sample) group of p docs emits ~p^2/2 join rows.  The cap
+    # bookkeeping runs on a combined 64-bit key (xxhash64 collisions would
+    # only over-drop an innocent group — logged, negligible); drop mode
+    # because this is a counting join (agree underestimates for pairs
+    # sharing capped positions, like the reference's capped index).
+    post = post.withColumn("_pk", F.xxhash64("pos", "key"))
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+    post, _ = _apply_posting_cap(post, "_pk", cfg, "wminhash",
+                                 allow_star=False)
     a, b = post.alias("a"), post.alias("b")
     pairs = (
         a.join(b, (F.col("a.pos") == F.col("b.pos")) &
