@@ -238,6 +238,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
         join_cond = ["gram", "_blk"]
     else:
         join_cond = ["gram"]
+    # one text pass: the cap's count job and BOTH self-join branches read
+    # the gram table from parquet instead of re-running tokenization
+    from rabbittclust_spark.sources.tables import materialize as _mat
+    g = _mat(g, "ngrams")
     # hot-gram cap (reference --max-posting semantics, drop mode — this is
     # a COUNTING join, so star escalation cannot apply; dropped grams
     # underestimate `common` for pairs sharing them, exactly like the
