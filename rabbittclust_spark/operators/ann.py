@@ -12,14 +12,10 @@
 
 from __future__ import annotations
 
-import logging
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-_ANN_LOG = logging.getLogger(__name__)
 
 from rabbittclust_spark.functions.distances import cosine_expr
 from rabbittclust_spark.functions.hashing import splitmix64
@@ -226,26 +222,18 @@ def _apply_bucket_cap(keyed: DataFrame, max_bucket: int | None,
     bucket counts are logged — no silent caps."""
     if max_bucket is None:
         return keyed, None
-    counts = keyed.groupBy("bucket").agg(F.count("*").alias("_bl"))
-    hot_rows = counts.where(F.col("_bl") > max_bucket).collect()
-    if not hot_rows:
-        return keyed, None
-    _ANN_LOG.warning(
-        "max_bucket=%d: %d hot LSH buckets covering %d keys escalated via "
-        "anchor-star candidates", max_bucket, len(hot_rows),
-        sum(int(r["_bl"]) for r in hot_rows))
-    hot = keyed.sparkSession.createDataFrame(
-        [(r["bucket"],) for r in hot_rows],
-        schema=counts.select("bucket").schema)
-    cold = keyed.join(F.broadcast(hot), "bucket", "left_anti")
-    hot_keys = keyed.join(F.broadcast(hot), "bucket")
-    anchors = hot_keys.groupBy("bucket").agg(F.min("vec_id").alias("_anchor"))
-    star_cand = (hot_keys.join(F.broadcast(anchors), "bucket")
-                 .where(F.col("vec_id") != F.col("_anchor"))
-                 .select(F.least("vec_id", "_anchor").alias("src"),
-                         F.greatest("vec_id", "_anchor").alias("dst"))
-                 .distinct()) if star else None
-    return cold, star_cand
+    import dataclasses
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.pairs import _apply_posting_cap
+
+    # delegate to the shared posting-cap machinery (same aggregate-first
+    # accounting, same HOT_KEY_COLLECT_LIMIT guard against collecting an
+    # adversarially large hot set to the driver)
+    cfg = dataclasses.replace(PipelineConfig(), max_posting=max_bucket,
+                              hot_hash_mode="star" if star else "drop")
+    return _apply_posting_cap(keyed, "bucket", cfg, "ann-bucket",
+                              allow_star=star, doc_col="vec_id")
 
 
 def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,

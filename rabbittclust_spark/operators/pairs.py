@@ -46,9 +46,18 @@ from rabbittclust_spark.functions.distances import (
 
 _LOG = logging.getLogger(__name__)
 
+# above this many hot keys the hot set stays a DataFrame (parquet-backed
+# shuffle joins) instead of a collect()+broadcast local relation: the hot
+# count is bounded by total_postings/cap, which at 1e9 docs x 1000-hash
+# sketches / 2000 can reach ~1e7 rows — too much to ship through the driver
+# on every edges build.  Below the limit the broadcast path is strictly
+# cheaper (one tiny collect, no extra shuffle on the anti-join).
+HOT_KEY_COLLECT_LIMIT = 100_000
+
 
 def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
-                       label: str, allow_star: bool = True
+                       label: str, allow_star: bool = True,
+                       doc_col: str = "doc_id"
                        ) -> tuple[DataFrame, DataFrame | None]:
     """--max-posting analog with accounting and optional escalation.
 
@@ -73,36 +82,47 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
         return postings, None
 
     counts = postings.groupBy(key).agg(F.count("*").alias("_pl"))
-    # the hot set is keys hotter than the cap — bounded by
-    # total_postings/cap rows, so collecting it is a broadcast-sized
-    # driver transfer by construction (one job, no parquet round-trip;
-    # this path runs on EVERY probe/index/banded build, so its no-hot-keys
-    # cost must stay at a single aggregation)
-    hot_rows = counts.where(F.col("_pl") > cfg.max_posting).collect()
-    n_hot = len(hot_rows)
-    n_post = sum(int(r["_pl"]) for r in hot_rows)
+    hot_counts = counts.where(F.col("_pl") > cfg.max_posting)
+    # ONE aggregate job decides the common case (nothing hot): collect only
+    # the (n_hot, n_post) totals, never the keys — this path runs on EVERY
+    # probe/index/banded build, so its no-hot-keys cost must stay at a
+    # single aggregation and a driver transfer of one row
+    agg = hot_counts.agg(
+        F.count("*").alias("nh"),
+        F.coalesce(F.sum("_pl"), F.lit(0)).alias("np")).collect()[0]
+    n_hot, n_post = int(agg["nh"]), int(agg["np"])
     if n_hot == 0:
         # common case: nothing hot — the finite default cap costs one
         # count job and changes nothing in the plan
         return postings, None
-    hot = postings.sparkSession.createDataFrame(
-        [(r[key],) for r in hot_rows], schema=counts.select(key).schema)
-    cold = postings.join(F.broadcast(hot.select(key)), key, "left_anti")
     star_mode = allow_star and cfg.hot_hash_mode == "star"
     _LOG.warning(
         "max_posting=%d [%s]: %d hot keys covering %d postings %s",
         cfg.max_posting, label, n_hot, n_post,
         "escalated via anchor-star candidates" if star_mode
         else "DROPPED (reference --max-posting behavior)")
+    if n_hot <= HOT_KEY_COLLECT_LIMIT:
+        # small hot set (the measured reality: 13 keys at 1M docs): collect
+        # the keys and broadcast a local relation — no extra shuffle
+        hot_rows = hot_counts.select(key).collect()
+        hot = F.broadcast(postings.sparkSession.createDataFrame(
+            [(r[key],) for r in hot_rows], schema=counts.select(key).schema))
+    else:
+        # adversarial hot set: keep it distributed — parquet-materialize the
+        # key table (both the anti-join and the star join re-read it) and
+        # let the joins shuffle; never ship millions of rows via the driver
+        from rabbittclust_spark.sources.tables import materialize
+        hot = materialize(hot_counts.select(key), "hot_keys")
+    cold = postings.join(hot, key, "left_anti")
     if not star_mode:
         return cold, None
-    hot_postings = postings.join(F.broadcast(hot.select(key)), key)
-    anchors = hot_postings.groupBy(key).agg(F.min("doc_id").alias("_anchor"))
+    hot_postings = postings.join(hot, key)
+    anchors = hot_postings.groupBy(key).agg(F.min(doc_col).alias("_anchor"))
     star = (
-        hot_postings.join(F.broadcast(anchors), key)
-        .where(F.col("doc_id") != F.col("_anchor"))
-        .select(F.least("doc_id", "_anchor").alias("src"),
-                F.greatest("doc_id", "_anchor").alias("dst"))
+        hot_postings.join(anchors, key)
+        .where(F.col(doc_col) != F.col("_anchor"))
+        .select(F.least(doc_col, "_anchor").alias("src"),
+                F.greatest(doc_col, "_anchor").alias("dst"))
         .distinct()
     )
     return cold, star
