@@ -237,7 +237,7 @@ def _apply_bucket_cap(keyed: DataFrame, max_bucket: int | None,
 
 
 def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
-                          num_planes: int = 4, num_tables: int = 8,
+                          num_planes: int | None = None, num_tables: int = 8,
                           seed: int = 7, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           round_dp: int | None = 6,
@@ -249,10 +249,24 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
     the standard LSH trade-off (>= 0.99 for high-similarity pairs at these
     defaults, measured in tests/test_ann.py; multiprobe > 0 probes
     neighboring buckets for more recall at ~(1+multiprobe)x candidates).
+
+    ``num_planes=None`` (the default) sizes the tables to the corpus via
+    :func:`auto_planes` (one count job).  A FIXED plane count is the
+    measured scale failure mode: candidate volume is O(N^2 / 2^planes), and
+    with the bucket cap saving the job from death a mis-sized table
+    escalates every bucket to anchor-star — pair-list consumers then
+    silently lose member-member pairs inside hot buckets.  Auto-sizing
+    keeps buckets near ``target_bucket`` so the cap only fires on genuine
+    boilerplate cliques (tests/test_ann.py pins pair-list recall at a
+    cap-firing scale).  Pass an explicit int only when mirroring a fixed
+    external configuration (the DuckDB oracle does).
+
     ``max_bucket`` (finite by default) caps oversized buckets with logged
     anchor-star escalation — see _apply_bucket_cap; it never fires at the
     driver-oracle scale, so the DuckDB twin mirrors the uncapped plan."""
     e = _prep(embeddings, id_col, vec_col)
+    if num_planes is None:
+        num_planes = auto_planes(e.count())
     # past ~64 key expressions whole-stage codegen overflows the 64 KB JVM
     # method limit and the expr path runs interpreted — switch to the
     # bit-identical numpy kernel (equality pinned in tests/test_ann.py)
@@ -281,7 +295,7 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             dim: int | None = None, num_planes: int | None = 4,
+             dim: int | None = None, num_planes: int | None = None,
              num_tables: int = 8, seed: int = 7, multiprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_dp: int | None = 6) -> DataFrame:

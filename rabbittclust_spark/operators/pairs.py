@@ -54,6 +54,15 @@ _LOG = logging.getLogger(__name__)
 # cheaper (one tiny collect, no extra shuffle on the anti-join).
 HOT_KEY_COLLECT_LIMIT = 100_000
 
+# anchors per hot key for star escalation.  An anchor that is NOT a near-dup
+# of the group (an unrelated doc that merely shares the hot key — common for
+# weak keys like few-bit LSH buckets) fails exact verification against every
+# member and would silently drop the entire group from the results; k
+# independent pseudo-random anchors make that failure mode require k rogue
+# picks in a row.  Candidate volume on hot keys is k*p instead of p — still
+# O(p), never O(p^2).
+STAR_ANCHORS = 3
+
 
 def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
                        label: str, allow_star: bool = True,
@@ -117,7 +126,20 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     if not star_mode:
         return cold, None
     hot_postings = postings.join(hot, key)
-    anchors = hot_postings.groupBy(key).agg(F.min(doc_col).alias("_anchor"))
+    # STAR_ANCHORS pseudo-random anchors per hot key: anchor i = the member
+    # minimizing a salt-i hash of its id.  min(struct) is a map-side
+    # combinable aggregate (no per-key sort, no single-task skew on a huge
+    # hot group); salted hashes are deterministic, so results are stable.
+    # Min-ID anchoring was measured failing here: when an unrelated low-id
+    # doc shares the hot key, it captures the anchor role and exact verify
+    # kills every star pair, silently dropping the genuine dup group.
+    anchors = hot_postings.groupBy(key).agg(*[
+        F.min(F.struct(F.xxhash64(doc_col, F.lit(i)).alias("h"),
+                       F.col(doc_col).alias("d"))).alias(f"_a{i}")
+        for i in range(STAR_ANCHORS)])
+    anchors = anchors.select(
+        key, F.explode(F.array_distinct(F.array(
+            *[F.col(f"_a{i}.d") for i in range(STAR_ANCHORS)]))).alias("_anchor"))
     star = (
         hot_postings.join(anchors, key)
         .where(F.col(doc_col) != F.col("_anchor"))
