@@ -242,6 +242,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
     # the gram table from parquet instead of re-running tokenization
     from rabbittclust_spark.sources.tables import materialize as _mat
     g = _mat(g, "ngrams")
+    # per-doc sizes from the UNCAPPED gram table: the cap below may only
+    # shrink the intersection (`common`), never the denominator — dropping
+    # hot grams from |A| and |B| as well would let two boilerplate-heavy
+    # docs report near-1.0 jaccard from a tiny cold-gram tail (a
+    # false-positive dup pair), the opposite of the precision-safe
+    # underestimate the capped reference index guarantees
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     # hot-gram cap (reference --max-posting semantics, drop mode — this is
     # a COUNTING join, so star escalation cannot apply; dropped grams
     # underestimate `common` for pairs sharing them, exactly like the
@@ -256,7 +263,6 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
             g, "gram",
             dataclasses.replace(PipelineConfig(), max_posting=max_posting),
             "ngram", allow_star=False)
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a, b = g.alias("a"), g.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in join_cond]
     pairs = (
@@ -298,13 +304,17 @@ def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
     # hot-(pos,key) cap: identical/boilerplate docs agree at EVERY position,
     # so one (pos, sample) group of p docs emits ~p^2/2 join rows.  The cap
     # bookkeeping runs on a combined 64-bit key (xxhash64 collisions would
-    # only over-drop an innocent group — logged, negligible); drop mode
-    # because this is a counting join (agree underestimates for pairs
-    # sharing capped positions, like the reference's capped index).
+    # only over-drop an innocent group — logged, negligible).  The counting
+    # join itself runs in drop semantics (agree underestimates for pairs
+    # sharing capped positions, like the reference's capped index), but hot
+    # keys ALSO emit anchor-star candidates whose agreement is computed
+    # EXACTLY from the full signatures below — without that, a group of
+    # more than max_posting near-identical docs has every position hot,
+    # loses every posting row, and silently reports zero pairs (the recall
+    # cliff the MinHash path's escalation already guards against).
     post = post.withColumn("_pk", F.xxhash64("pos", "key"))
     from rabbittclust_spark.operators.pairs import _apply_posting_cap
-    post, _ = _apply_posting_cap(post, "_pk", cfg, "wminhash",
-                                 allow_star=False)
+    post, star = _apply_posting_cap(post, "_pk", cfg, "wminhash")
     a, b = post.alias("a"), post.alias("b")
     pairs = (
         a.join(b, (F.col("a.pos") == F.col("b.pos")) &
@@ -313,6 +323,22 @@ def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
         .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .agg(F.count("*").alias("agree"))
     )
+    if star is not None:
+        # exact sig-zip agreement for escalated candidates: positional
+        # equality over the two full signatures (JVM zip_with, no Python);
+        # exact >= the capped join's undercount, so max() per pair keeps it
+        sigs = sk.select("doc_id", "sig")
+        star_pairs = (
+            star.join(sigs.select(F.col("doc_id").alias("src"),
+                                  F.col("sig").alias("_s1")), "src")
+            .join(sigs.select(F.col("doc_id").alias("dst"),
+                              F.col("sig").alias("_s2")), "dst")
+            .select("src", "dst",
+                    F.size(F.filter(F.zip_with("_s1", "_s2",
+                                               lambda x, y: x == y),
+                                    lambda m: m)).alias("agree")))
+        pairs = (pairs.unionByName(star_pairs)
+                 .groupBy("src", "dst").agg(F.max("agree").alias("agree")))
     est = F.col("agree") / F.lit(float(num_samples))
     return (pairs.where(est >= min_wjaccard)
             .select("src", "dst", "agree", F.round(est, 6).alias("wjaccard_est")))

@@ -144,3 +144,26 @@ def test_cli_stats_report(spark, cli_dirs, capsys):
     n = spark.read.parquet(os.path.join(cli_dirs["out"], "assignments")).count()
     assert m and int(m.group(1)) == n
     assert re.search(r"Compression ratio:\s+\d+\.\d\d%", out)
+
+
+def test_cli_append_honors_cli_threshold(spark, cli_dirs, capsys):
+    """ADVICE r3: `threshold` is NOT sketch identity — query/append modes
+    must honor a user-supplied -d instead of silently adopting the build's
+    (the reference reuses --presketched sketches under a new -d,
+    src/main.cpp:616-641)."""
+    base = ["--input", cli_dirs["in"], "--output", cli_dirs["out"], "-m", "100"]
+    _run(base + ["--no-resume"])
+    _run(base + ["--db-assign", cli_dirs["in"], "-d", "0.2"])
+    msg = capsys.readouterr().out
+    assert "threshold" not in msg.split("adopting the build's values")[-1]
+    loose = spark.read.parquet(os.path.join(cli_dirs["out"], "assign"))
+    n_loose = loose.where("is_novel").count()
+    _run(base + ["--db-assign", cli_dirs["in"], "-d", "0.01"])
+    tight = spark.read.parquet(os.path.join(cli_dirs["out"], "assign"))
+    n_tight = tight.where("is_novel").count()
+    # the novelty boundary IS the CLI -d: a looser -d marks strictly fewer
+    # docs novel.  With the old behavior both runs adopted the build's
+    # -d 0.05 and produced identical novel counts.
+    assert n_loose < n_tight
+    import run_pipeline as rp
+    assert "threshold" not in rp._SKETCH_PARAMS

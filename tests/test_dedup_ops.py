@@ -115,3 +115,64 @@ def test_min_probe_common_parity(spark):
                 minhash_dedup(docs, dataclasses.replace(
                     base, min_probe_common=2))["assignments"].collect())
     assert a1 == a2 and len(a1) > 0
+
+
+def test_ngram_cap_does_not_inflate_jaccard(spark):
+    """ADVICE r3: the hot-gram cap may only shrink the intersection, never
+    the denominator.  Two docs built from two DIFFERENT hot boilerplate
+    blocks plus a tiny shared cold tail have true jaccard ~0.03; computing
+    sizes AFTER the cap dropped the boilerplate from |A| and |B| too and
+    reported jaccard 1.0 — a false-positive dup pair."""
+    from rabbittclust_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler_a = " ".join(f"wa{i}" for i in range(32))
+    boiler_b = " ".join(f"wb{i}" for i in range(32))
+    tail = "x0 x1 x2 x3"
+    rows = [(0, f"{boiler_a} {tail}"), (1, f"{boiler_b} {tail}")]
+    # 12-doc groups make every boilerplate gram hot at max_posting=5
+    for i in range(2, 14):
+        rows.append((i, f"{boiler_a} ja{i}0 ja{i}1"))
+    for i in range(14, 26):
+        rows.append((i, f"{boiler_b} jb{i}0 jb{i}1"))
+    # an honest all-cold near-dup pair must still be reported
+    rows.append((26, "p0 p1 p2 p3 p4 p5 p6 p7"))
+    rows.append((27, "p0 p1 p2 p3 p4 p5 p6 q9"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.src, r.dst): r.jaccard
+           for r in ngram_jaccard_pairs(docs, n=3, min_jaccard=0.4,
+                                        max_posting=5).collect()}
+    assert (0, 1) not in out          # capped boilerplate must not inflate
+    assert (26, 27) in out            # cold near-dups unaffected
+    # and with no cap, (0, 1) is correctly scored low, not reported
+    uncapped = {(r.src, r.dst)
+                for r in ngram_jaccard_pairs(docs, n=3, min_jaccard=0.4,
+                                             max_posting=None).collect()}
+    assert (0, 1) not in uncapped
+
+
+def test_wminhash_fully_hot_group_recovered(spark):
+    """ADVICE r3: a dup group larger than max_posting makes EVERY signature
+    position hot; pure drop mode loses all posting rows and reports zero
+    pairs for the group.  Star escalation with exact sig-zip agreement must
+    recover anchor pairs spanning every member."""
+    import dataclasses
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.dedup import wminhash_pairs
+
+    text = " ".join(f"tok{i % 40}" for i in range(200))
+    rows = [(i, text) for i in range(25)]                 # identical group
+    rows += [(100 + i, " ".join(f"u{100 + i}x{j}" for j in range(60)))
+             for i in range(5)]                           # unrelated docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = dataclasses.replace(PipelineConfig(min_len=10, shingle_k=8),
+                              max_posting=10, hot_hash_mode="star")
+    out = wminhash_pairs(docs, cfg, num_samples=32, min_wjaccard=0.5)
+    got = [(r.src, r.dst, r.agree) for r in out.collect()]
+    covered = {d for s, _, _ in got for d in [s]} | {d for _, d, _ in got}
+    assert set(range(25)) <= covered          # every member in some pair
+    assert all(a == 32 for _, _, a in got)    # exact agreement, identical docs
+    # drop mode documents the cliff: the group vanishes entirely
+    out_drop = wminhash_pairs(docs, dataclasses.replace(
+        cfg, hot_hash_mode="drop"), num_samples=32, min_wjaccard=0.5)
+    assert out_drop.count() == 0

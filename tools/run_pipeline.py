@@ -47,11 +47,16 @@ def _state_paths(output: str) -> tuple[str, str, int]:
 
 # sketch-identity params: two sketch sets are only comparable when ALL of
 # these match (the reference stores them in its sketch-file header and
-# validates on load, src/Sketch_IO.cpp:136-167)
+# validates on load, src/Sketch_IO.cpp:136-167).  `threshold` is
+# deliberately NOT here: sketches do not depend on it (the pregraph
+# stage_hash design excludes it from the 'sketches' stage for the same
+# reason), and the reference's --presketched semantics reuse sketches
+# under a new -d (src/main.cpp:616-641) — adopting the build's threshold
+# would silently override a user-supplied -d in query/append modes.
 _SKETCH_PARAMS = ("shingle_k", "sketch_size", "containment",
                   "containment_variant", "contain_compress",
                   "min_sketch_size", "lowercase", "hash_seed", "min_len",
-                  "threshold", "perm_count", "rows_per_band", "perm_seed")
+                  "perm_count", "rows_per_band", "perm_seed")
 
 
 def _adopt_build_config(output: str, cfg):
