@@ -257,12 +257,6 @@ def _q_topk_orders(spark, sf_dir):
             .select("o_custkey", "o_orderkey", "o_totalprice", "rk"))
 
 
-def _q_value_histogram(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events")
-    return (e.select(F.floor("value").cast("long").alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("cnt")))
-
-
 def _q_events_stats(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return e.agg(
@@ -275,12 +269,6 @@ def _q_events_stats(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
     )
-
-
-def _q_union_dedup(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    return o.union(c).distinct()
 
 
 def _q_best_supplier(spark, sf_dir):
@@ -688,13 +676,20 @@ def _q_token_winnow(spark, sf_dir):
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
-    graph.  Rows-only: the synchronous modularity-gain iteration is not
-    SQL-expressible; equivalence vs a single-process twin is tested in
-    tests/test_leiden.py."""
+    graph, run in monotone-label mode (a node only adopts labels <= its
+    current one): labels are then non-increasing, so the run reaches a TRUE
+    fixed point — the plain synchronous rule admits period-2 oscillations
+    (measured: 4 nodes on the sf0.01 graph), whose stopping state is a
+    detection-order artifact no bounded SQL can mirror.  Oracle: the
+    monotone update unrolled _LPA_UNROLL times — once the fixed point is
+    reached every later round is identity, so the bounded unrolling IS the
+    full algorithm on this corpus.  The default (non-monotone) mode is
+    oracle-gated per-round by lpa_round1/lpa_refined/community_coarsen and
+    twin-equivalence-tested in tests/test_leiden.py."""
     from rabbittclust_spark.operators.leiden import label_propagation
 
     edges = _token_edges(spark, sf_dir)
-    comm = label_propagation(edges, resolution=1.0)
+    comm = label_propagation(edges, resolution=1.0, monotone_labels=True)
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
     return (docs.join(comm, "doc_id", "left")
             .select("doc_id",
@@ -737,6 +732,20 @@ def _q_lpa_refined(spark, sf_dir):
                       F.coalesce("community", F.col("doc_id"))
                       .alias("community")))
     return refine_communities(labels, edges)
+
+
+def _q_community_coarsen(spark, sf_dir):
+    """One Louvain coarsening step (Blondel et al. 2008 phase 2; reference
+    community_multilevel backend, src/leiden.cpp:295-471): collapse the
+    round-1 LPA communities of the token graph into super-nodes with summed
+    edge weights; cu == cv rows are community-internal self-loops.  A pure
+    join + groupBy-sum, so the DuckDB oracle mirrors it exactly — this
+    gates the step community_multilevel repeats per level."""
+    from rabbittclust_spark.operators.leiden import coarsen_graph
+
+    edges = _token_edges(spark, sf_dir)
+    labels = _q_lpa_round1(spark, sf_dir)
+    return coarsen_graph(edges, labels, round_dp=6).select("cu", "cv", "w")
 
 
 def _q_repdb_stats(spark, sf_dir):
@@ -879,14 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pair_mash": _q_token_pair_mash,
         "ani_histogram": _q_ani_histogram,
         "density_histogram": _q_density_histogram,
+        # communities: one Louvain coarsening step (§2.8, multilevel)
+        "community_coarsen": _q_community_coarsen,
         # windows / sorts / top-k (§2.6)
         "topk_orders": _q_topk_orders,
         "best_supplier": _q_best_supplier,
         # aggregations (§2.5)
-        "value_histogram": _q_value_histogram,
         "events_stats": _q_events_stats,
-        # set ops (§2.7)
-        "union_dedup": _q_union_dedup,
         # text analysis (training-data pipeline)
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
@@ -1117,6 +1125,72 @@ lpa_labels AS (
 )"""
 
 
+def _sql_lpa_unrolled(rounds: int, resolution: float = 1.0) -> str:
+    """CTE chain applying the synchronous modularity-gain LPA update
+    ``rounds`` times (the lpa_round1 SQL iterated with label-dependent K_L
+    and K_other terms).  The operator stops at its fixed point (measured:
+    7 iterations on the sf0.01 token graph, no oscillation); once a round
+    maps labels to themselves every later round is a no-op, so any
+    ``rounds`` >= the fixed-point round reproduces the full run — this is
+    what lets the iterative algorithm carry a REAL value-checked oracle
+    instead of a rows-only gate.  Requires lsym/ldeg/lm from
+    _SQL_LPA1_CTES' base (emitted here standalone).
+
+    Every per-round CTE is AS MATERIALIZED: DuckDB inlines plain CTEs at
+    each reference, so a 12-round chain re-executes the whole upstream
+    pipeline per reference (observed: fd exhaustion re-opening the parquet
+    source); materialization makes each round run once, like the Spark
+    side's stage barriers."""
+    ctes = ["""
+lab0 AS MATERIALIZED (SELECT u AS doc_id, u AS community FROM ldeg)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""
+K{r} AS MATERIALIZED (
+  SELECT lb.community AS label, sum(d.k) AS K
+  FROM lab{p} lb JOIN ldeg d ON lb.doc_id = d.u GROUP BY 1),
+cand{r} AS MATERIALIZED (
+  SELECT u, nlabel, max(w_ul) AS w_ul FROM (
+    SELECT s.u AS u, lb.community AS nlabel, sum(s.w) AS w_ul
+    FROM lsym s JOIN lab{p} lb ON s.v = lb.doc_id GROUP BY 1, 2
+    UNION ALL
+    SELECT doc_id, community, 0.0 FROM lab{p}
+  ) GROUP BY u, nlabel),
+scored{r} AS MATERIALIZED (
+  SELECT c.u, c.nlabel,
+         c.w_ul - {resolution} * d.k *
+           (K.K - CASE WHEN c.nlabel = lp.community THEN d.k ELSE 0.0 END)
+           / (SELECT m2 FROM lm) AS score
+  FROM cand{r} c
+  JOIN ldeg d ON c.u = d.u
+  JOIN lab{p} lp ON c.u = lp.doc_id
+  JOIN K{r} K ON K.label = c.nlabel
+  WHERE c.nlabel <= lp.community),
+lab{r} AS MATERIALIZED (
+  SELECT u AS doc_id, nlabel AS community FROM (
+    SELECT u, nlabel, row_number() OVER (PARTITION BY u
+           ORDER BY round(-score, 9) ASC, nlabel ASC) AS rk
+    FROM scored{r}) WHERE rk = 1)""")
+    return ",".join(ctes)
+
+
+# unroll depth for the full-run LPA oracle: must be >= the fixed-point
+# round on the oracle corpus (measured 7 at sf0.01; extra rounds are no-ops)
+_LPA_UNROLL = 12
+
+# base graph CTEs shared by the unrolled-LPA and coarsening oracles
+# (the prefix of _SQL_LPA1_CTES, materialized — see _sql_lpa_unrolled)
+_SQL_LPA_BASE = """
+lsym AS MATERIALIZED (
+  SELECT src AS u, dst AS v, greatest(0.0, 1.0 - dist) AS w
+  FROM tokedges
+  UNION ALL
+  SELECT dst, src, greatest(0.0, 1.0 - dist) FROM tokedges
+),
+ldeg AS MATERIALIZED (SELECT u, sum(w) AS k FROM lsym GROUP BY u),
+lm AS MATERIALIZED (SELECT sum(w) AS m2 FROM lsym)"""
+
+
 def oracle_sql() -> dict[str, str]:
     q = quality_sql = f"""
     WITH base AS (
@@ -1219,11 +1293,6 @@ def oracle_sql() -> dict[str, str]:
               FROM supplier
             ) WHERE rk = 1
         """,
-        "value_histogram": """
-            SELECT CAST(floor(value) AS BIGINT) AS bucket,
-                   CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1
-        """,
         "events_stats": """
             SELECT CAST(count(*) AS BIGINT) AS n,
                    round(min(value), 6) AS min_v,
@@ -1234,11 +1303,6 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS median,
                    round(quantile_cont(value, 0.75), 6) AS q3
             FROM events
-        """,
-        "union_dedup": """
-            SELECT o_custkey AS custkey FROM orders
-            UNION
-            SELECT c_custkey AS custkey FROM customer
         """,
         "token_counts": f"""
             SELECT doc_id,
@@ -1507,6 +1571,26 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKEN_EDGES_CTE},
             {_SQL_LPA1_CTES}
             SELECT doc_id, community FROM lpa_labels
+        """,
+        "label_propagation": f"""
+            WITH {_TOKEN_EDGES_CTE},
+            {_SQL_LPA_BASE},
+            {_sql_lpa_unrolled(_LPA_UNROLL)}
+            SELECT d.doc_id,
+                   coalesce(l.community, d.doc_id) AS community
+            FROM documents d
+            LEFT JOIN lab{_LPA_UNROLL} l ON d.doc_id = l.doc_id
+        """,
+        "community_coarsen": f"""
+            WITH {_TOKEN_EDGES_CTE},
+            {_SQL_LPA1_CTES}
+            SELECT least(a.community, b.community) AS cu,
+                   greatest(a.community, b.community) AS cv,
+                   round(sum(greatest(0.0, 1.0 - e.dist)), 6) AS w
+            FROM tokedges e
+            JOIN lpa_labels a ON e.src = a.doc_id
+            JOIN lpa_labels b ON e.dst = b.doc_id
+            GROUP BY 1, 2
         """,
         "lpa_refined": f"""
             WITH RECURSIVE {_TOKEN_EDGES_CTE},

@@ -107,6 +107,9 @@ class PipelineConfig:
     community_resolution: float | None = None  # None = no communities stage
     community_knn: int | None = None           # per-node k-NN edge cap (--knn)
     community_max_iter: int = 20
+    community_levels: int = 1     # >1 = multi-level Louvain coarsening
+                                  # (reference community_multilevel backend,
+                                  #  src/leiden.cpp:295-471)
 
     # --- determinism (reference seeds 23 / 348842630, src/SketchInfo.cpp:88-94) ---
     hash_seed: int = 23
@@ -231,5 +234,5 @@ _STAGE_FIELDS: dict[str, tuple[str, ...]] = {
     "dedup_groups": ("dedup_dist",),
     "reps": ("reps_per_cluster",),
     "communities": ("community_resolution", "community_knn",
-                    "community_max_iter"),
+                    "community_max_iter", "community_levels"),
 }

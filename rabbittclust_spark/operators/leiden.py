@@ -28,17 +28,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _prep_graph(edges: DataFrame, src: str, dst: str, dist_col: str | None):
-    """Symmetrized weighted edges (u, v, w): w = 1 - dist (clamped >= 0),
-    or 1.0 when the edge set has no distance column."""
+def _weight_expr(dist_col: str | None, weight_col: str | None):
+    """Edge weight: an explicit weight column (coarsened super-graphs),
+    else 1 - dist clamped >= 0, else 1.0."""
+    if weight_col is not None:
+        return F.col(weight_col).cast("double")
     if dist_col is not None:
-        w = F.greatest(F.lit(0.0), 1.0 - F.col(dist_col))
-    else:
-        w = F.lit(1.0)
+        return F.greatest(F.lit(0.0), 1.0 - F.col(dist_col))
+    return F.lit(1.0)
+
+
+def _prep_graph(edges: DataFrame, src: str, dst: str, dist_col: str | None,
+                weight_col: str | None = None
+                ) -> tuple[DataFrame, DataFrame]:
+    """(sym, loops): symmetrized loop-free weighted edges (u, v, w) plus the
+    per-node self-loop weights (u, lw).  Self-loops appear on coarsened
+    super-graphs (a community's internal weight); they contribute 2*lw to
+    the node's degree and to 2m (standard weighted-graph convention) but
+    are NOT move candidates — a node's internal weight moves with it, so
+    it cancels out of every modularity-gain comparison."""
+    w = _weight_expr(dist_col, weight_col)
     e = edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"), w.alias("w")) \
-        .where(F.col("u") != F.col("v"))
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+                     F.col(dst).cast("long").alias("v"), w.alias("w"))
+    loops = e.where(F.col("u") == F.col("v")) \
+        .groupBy("u").agg(F.sum("w").alias("lw"))
+    e = e.where(F.col("u") != F.col("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    return sym, loops
 
 
 def knn_cap_edges(edges: DataFrame, k: int, src: str = "src",
@@ -107,12 +123,27 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       max_iter: int = 20, src: str = "src", dst: str = "dst",
                       dist_col: str | None = "dist",
                       knn: int | None = None,
-                      driver_cutoff: int = 2_000_000) -> DataFrame:
+                      driver_cutoff: int = 2_000_000,
+                      weight_col: str | None = None,
+                      monotone_labels: bool = False) -> DataFrame:
     """edges -> (doc_id, community) for every node appearing in edges.
 
     Community ids are label values (node ids); singletons are absent —
     attach them exactly like connected-components consumers do.  ``knn``
     applies the reference's --knn per-node edge cap before propagation.
+    ``weight_col`` uses explicit edge weights instead of 1 - dist (the
+    coarsened super-graphs of community_multilevel, which also carry
+    self-loops: counted into degrees and 2m, never move candidates).
+
+    ``monotone_labels=True`` restricts moves to labels <= the node's
+    current label.  Synchronous updates let two mutually-attracted nodes
+    SWAP labels forever instead of merging (the oscillation detector then
+    freezes the un-merged state) — exactly the two-super-node shape every
+    coarsened pair reaches, so community_multilevel enables this for
+    coarse levels.  Labels become monotone non-increasing, which also
+    guarantees convergence without the oscillation detector; the gain
+    rule and tie-breaks are unchanged.  Off by default: the base-level
+    semantics (and their driver oracles) predate the knob.
 
     Edge sets at or below ``driver_cutoff`` rows run the single-process twin
     on collected edges (same update rule and tie-breaks — equality is tested
@@ -130,23 +161,33 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
     if driver_cutoff:
         n_edges = edges.count()
         if n_edges <= driver_cutoff:
-            cols = [src, dst] + ([dist_col] if dist_col is not None else [])
-            pdf = edges.select(*cols).toPandas()
+            wexpr = _weight_expr(dist_col, weight_col)
+            pdf = edges.select(F.col(src).cast("long"),
+                               F.col(dst).cast("long"),
+                               wexpr.alias("_w")).toPandas()
             triples = [
-                (int(r[0]), int(r[1]),
-                 float(r[2]) if dist_col is not None else 0.0)
+                (int(r[0]), int(r[1]), float(r[2]))
                 for r in pdf.itertuples(index=False)
             ]
             labels = label_propagation_reference(triples,
                                                  resolution=resolution,
-                                                 max_iter=max_iter)
+                                                 max_iter=max_iter,
+                                                 weighted=True,
+                                                 monotone=monotone_labels)
             out = [(int(u), int(c)) for u, c in sorted(labels.items())]
             return edges.sparkSession.createDataFrame(
                 out or [], "doc_id long, community long")
-    sym = materialize(_prep_graph(edges, src, dst, dist_col), "lpa_sym")
-    deg = sym.groupBy("u").agg(F.sum("w").alias("k"))
-    m2_row = sym.agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("s")).collect()[0]
-    m2 = float(m2_row["s"])  # = 2m (both directions summed)
+    sym, loops = _prep_graph(edges, src, dst, dist_col, weight_col)
+    sym = materialize(sym, "lpa_sym")
+    # weighted degree k = incident non-loop weight + 2*self-loop weight
+    # (full join: loop-only nodes still participate, labeled themselves)
+    deg = (sym.groupBy("u").agg(F.sum("w").alias("_kn"))
+           .join(loops, "u", "full")
+           .select("u", (F.coalesce(F.col("_kn"), F.lit(0.0))
+                         + 2.0 * F.coalesce(F.col("lw"), F.lit(0.0)))
+                   .alias("k")))
+    m2_row = deg.agg(F.coalesce(F.sum("k"), F.lit(0.0)).alias("s")).collect()[0]
+    m2 = float(m2_row["s"])  # = 2m (degree sum, loops counted twice)
     if m2 <= 0:
         return edges.sparkSession.createDataFrame([], "doc_id long, community long")
 
@@ -167,9 +208,14 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
                             F.lit(0.0).alias("w_ul"))
         cand = (nbr_w.unionByName(cur)
                 .groupBy("u", "nlabel").agg(F.max("w_ul").alias("w_ul")))
+        scored = cand.join(deg, "u").join(labels, "u")
+        if monotone_labels:
+            # coarse-level symmetry breaker (see docstring): only adopt
+            # labels <= the current one; the current label always remains
+            # a candidate, so staying put is never blocked
+            scored = scored.where(F.col("nlabel") <= F.col("label"))
         scored = (
-            cand.join(deg, "u")
-            .join(labels, "u")
+            scored
             .join(K.withColumnRenamed("label", "nlabel"), "nlabel")
             .withColumn(
                 "K_other",
@@ -201,10 +247,14 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
 
 
 def label_propagation_reference(edge_list, resolution: float = 1.0,
-                                max_iter: int = 20):
+                                max_iter: int = 20, weighted: bool = False,
+                                monotone: bool = False):
     """Single-process twin of :func:`label_propagation` (same update rule,
     same tie-breaks) for equivalence tests AND the driver fast-path.
-    edge_list: [(u, v, dist), ...].  Returns {node: community}.
+    edge_list: [(u, v, dist), ...] — or [(u, v, w), ...] with
+    ``weighted=True`` (coarsened super-graphs; self-loop rows count 2w into
+    the node's degree and 2m, and are never move candidates).
+    Returns {node: community}.
 
     Fully numpy-vectorized (CSR-free: sorted candidate keys + bincount) —
     a 2M-edge graph iterates in well under a second per round, so the
@@ -222,13 +272,18 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
     eu = np.fromiter((e[0] for e in edge_list), dtype=np.int64, count=ne)
     ev = np.fromiter((e[1] for e in edge_list), dtype=np.int64, count=ne)
     dd = np.fromiter((e[2] for e in edge_list), dtype=np.float64, count=ne)
-    wt = np.maximum(0.0, 1.0 - dd)
-    keep = eu != ev
-    eu, ev, wt = eu[keep], ev[keep], wt[keep]
-    if len(eu) == 0:
-        return {}
+    wt = dd if weighted else np.maximum(0.0, 1.0 - dd)
+    # node universe BEFORE the loop split: loop-only nodes still participate
     nodes = np.unique(np.concatenate([eu, ev]))
     n = len(nodes)
+    is_loop = eu == ev
+    loop_k = np.zeros(n)
+    if is_loop.any():
+        li = np.searchsorted(nodes, eu[is_loop])
+        np.add.at(loop_k, li, 2.0 * wt[is_loop])
+    eu, ev, wt = eu[~is_loop], ev[~is_loop], wt[~is_loop]
+    if len(eu) == 0 and not loop_k.any():
+        return {}
     ui = np.searchsorted(nodes, eu)
     vi = np.searchsorted(nodes, ev)
     # symmetrize, then sum duplicate (u, v) weights into one adjacency entry
@@ -240,7 +295,7 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
     aw = np.bincount(inv, weights=sw, minlength=len(ukey))
     au = (ukey // n).astype(np.int64)
     av = (ukey % n).astype(np.int64)
-    k = np.bincount(au, weights=aw, minlength=n)
+    k = np.bincount(au, weights=aw, minlength=n) + loop_k
     m2 = float(k.sum())
     if m2 <= 0:
         return {}
@@ -261,6 +316,10 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
         w_ul = np.bincount(cinv, weights=cw, minlength=len(uck))
         cand_u = (uck // n).astype(np.int64)
         cand_l = (uck % n).astype(np.int64)
+        if monotone:
+            # coarse-level symmetry breaker — same rule as the Spark side
+            keep = cand_l <= labels[cand_u]
+            cand_u, cand_l, w_ul = cand_u[keep], cand_l[keep], w_ul[keep]
         K_other = K[cand_l] - np.where(labels[cand_u] == cand_l, k[cand_u], 0.0)
         score = w_ul - resolution * k[cand_u] * K_other / m2
         neg = np.round(-score, 9)
@@ -274,3 +333,122 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
             break
         seen.append(fp)
     return {int(nodes[i]): int(nodes[labels[i]]) for i in range(n)}
+
+
+def coarsen_graph(edges: DataFrame, labels: DataFrame, src: str = "src",
+                  dst: str = "dst", dist_col: str | None = "dist",
+                  weight_col: str | None = None,
+                  round_dp: int | None = None) -> DataFrame:
+    """One Louvain coarsening step (the reference's community_multilevel
+    backend, src/leiden.cpp:295-471; Blondel et al. 2008 phase 2): collapse
+    every community to a super-node.  Returns (cu, cv, w) with cu <= cv;
+    cu == cv rows are self-loops carrying the community's internal weight
+    (each undirected intra-community edge counted once).
+
+    A pure join + groupBy-sum — SQL-expressible (driver-oracle-checked as
+    ``community_coarsen``) and shuffle-bounded by the edge count."""
+    w = _weight_expr(dist_col, weight_col)
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"), w.alias("w"))
+    lab = labels.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("community").cast("long").alias("community"))
+    out = (e.join(lab.select(F.col("doc_id").alias("u"),
+                             F.col("community").alias("_cu")), "u")
+           .join(lab.select(F.col("doc_id").alias("v"),
+                            F.col("community").alias("_cv")), "v")
+           .groupBy(F.least("_cu", "_cv").alias("cu"),
+                    F.greatest("_cu", "_cv").alias("cv"))
+           .agg(F.sum("w").alias("w")))
+    if round_dp is not None:
+        out = out.withColumn("w", F.round("w", round_dp))
+    return out
+
+
+def modularity_from_coarse(coarse: DataFrame, resolution: float = 1.0) -> float:
+    """Modularity of the partition a coarsened graph encodes (each
+    super-node = one community): Q = sum_L [ 2*w_LL/m2 - res*(K_L/m2)^2 ]
+    with K_L = 2*w_LL + sum of inter-community weights and m2 = total
+    degree.  One aggregate job on the (small) super-graph."""
+    c = coarse.select(F.col("cu"), F.col("cv"), F.col("w").cast("double"))
+    deg = (c.select(F.col("cu").alias("L"),
+                    F.when(F.col("cu") == F.col("cv"), 2.0 * F.col("w"))
+                    .otherwise(F.col("w")).alias("d"))
+           .union(c.where(F.col("cu") != F.col("cv"))
+                  .select(F.col("cv").alias("L"), F.col("w").alias("d")))
+           .groupBy("L").agg(F.sum("d").alias("K")))
+    intra = (c.where(F.col("cu") == F.col("cv"))
+             .select(F.col("cu").alias("L"), (2.0 * F.col("w")).alias("i")))
+    row = (deg.join(intra, "L", "left")
+           .agg(F.coalesce(F.sum("i"), F.lit(0.0)).alias("si"),
+                F.coalesce(F.sum("K"), F.lit(0.0)).alias("m2"),
+                F.coalesce(F.sum(F.col("K") * F.col("K")), F.lit(0.0))
+                .alias("sk2")).collect()[0])
+    m2 = float(row["m2"])
+    if m2 <= 0:
+        return 0.0
+    return float(row["si"]) / m2 - resolution * float(row["sk2"]) / (m2 * m2)
+
+
+def community_multilevel(edges: DataFrame, resolution: float = 1.0,
+                         max_iter: int = 20, max_levels: int = 10,
+                         src: str = "src", dst: str = "dst",
+                         dist_col: str | None = "dist",
+                         knn: int | None = None,
+                         driver_cutoff: int = 2_000_000,
+                         min_gain: float = 1e-9) -> DataFrame:
+    """Multi-level Louvain (reference community_multilevel,
+    src/leiden.cpp:295-471; Blondel et al. 2008): LPA to a local optimum,
+    collapse communities into super-nodes (coarsen_graph), re-run LPA on
+    the coarsened graph, compose the mappings; repeat until a level stops
+    merging or modularity stops improving.  One-level LPA under-merges on
+    large graphs (the reason the reference iterates); each extra level is
+    one groupBy-coarsening plus LPA on an exponentially smaller graph.
+
+    Returns (doc_id, community) at the finest granularity — community ids
+    are original node ids, as everywhere else."""
+    from rabbittclust_spark.sources.tables import materialize
+
+    if knn is not None:
+        if dist_col is None:
+            raise ValueError("knn cap requires a distance column")
+        edges = knn_cap_edges(edges, knn, src=src, dst=dst, dist_col=dist_col)
+        src, dst, dist_col = "src", "dst", "dist"
+    mapping: DataFrame | None = None
+    prev_q: float | None = None
+    cur, cur_src, cur_dst = edges, src, dst
+    cur_dist, cur_weight = dist_col, None
+    for level in range(max_levels):
+        labels = label_propagation(cur, resolution=resolution,
+                                   max_iter=max_iter, src=cur_src,
+                                   dst=cur_dst, dist_col=cur_dist,
+                                   driver_cutoff=driver_cutoff,
+                                   weight_col=cur_weight,
+                                   # coarse levels: break the two-super-node
+                                   # swap symmetry (see label_propagation)
+                                   monotone_labels=level > 0)
+        labels = materialize(labels, "ml_labels")
+        moved = labels.where(F.col("doc_id") != F.col("community")).count()
+        coarse = materialize(
+            coarsen_graph(cur, labels, src=cur_src, dst=cur_dst,
+                          dist_col=cur_dist, weight_col=cur_weight),
+            "ml_coarse")
+        q = modularity_from_coarse(coarse, resolution)
+        if level > 0 and prev_q is not None and q <= prev_q + min_gain:
+            break  # keep the previous mapping — this level didn't help
+        if mapping is None:
+            mapping = labels
+        else:
+            mapping = materialize(
+                mapping.withColumnRenamed("community", "_mid")
+                .join(labels.select(F.col("doc_id").alias("_mid"),
+                                    F.col("community")), "_mid")
+                .select("doc_id", "community"), "ml_mapping")
+        prev_q = q
+        if moved == 0:
+            break  # every super-node kept its own label: a fixed point
+        cur, cur_src, cur_dst = coarse, "cu", "cv"
+        cur_dist, cur_weight = None, "w"
+    if mapping is None:
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id long, community long")
+    return mapping

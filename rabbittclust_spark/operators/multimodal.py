@@ -42,9 +42,24 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
-def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    """STUB: real implementation decodes to HxWx3 uint8 (PIL/libvips)."""
-    raise NotImplementedError("image codec not available in this container")
+try:  # PIL is the one codec dependency that may ride along with the
+    # pandas/pyarrow environment; everything else stays stubbed
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - container-dependent
+    _PILImage = None
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode to HxWx3 uint8.  REAL when PIL is importable (any format PIL
+    reads); otherwise the honest stub raises — callers in non-strict mode
+    fall back to the deterministic fake feature either way."""
+    if _PILImage is not None:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    raise NotImplementedError("image codec not available in this container"
+                              " (PIL not importable)")
 
 
 def decode_audio(payload: bytes) -> np.ndarray:  # pragma: no cover - stub

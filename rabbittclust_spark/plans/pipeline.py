@@ -178,12 +178,26 @@ class DedupPipeline:
             # resolution/knn recomputes ONLY this stage (stage_hash scopes
             # the knobs to "communities"; "edges" doesn't read them)
             def _communities():
-                from rabbittclust_spark.operators.leiden import label_propagation
+                from rabbittclust_spark.operators.leiden import (
+                    community_multilevel,
+                    label_propagation,
+                )
 
-                comm = label_propagation(
-                    out["edges"], resolution=self.cfg.community_resolution,
-                    max_iter=self.cfg.community_max_iter,
-                    knn=self.cfg.community_knn)
+                if self.cfg.community_levels > 1:
+                    # Louvain coarsening (src/leiden.cpp:295-471): one-level
+                    # LPA under-merges on large graphs; each extra level is
+                    # a groupBy-coarsening + LPA on a much smaller graph
+                    comm = community_multilevel(
+                        out["edges"],
+                        resolution=self.cfg.community_resolution,
+                        max_iter=self.cfg.community_max_iter,
+                        max_levels=self.cfg.community_levels,
+                        knn=self.cfg.community_knn)
+                else:
+                    comm = label_propagation(
+                        out["edges"], resolution=self.cfg.community_resolution,
+                        max_iter=self.cfg.community_max_iter,
+                        knn=self.cfg.community_knn)
                 canon = assignments_from_components(
                     out["sketches"].select("doc_id"),
                     comm.withColumnRenamed("community", "cluster_id"))

@@ -187,3 +187,103 @@ def test_refine_communities_connected_noop(spark):
     got = {r.doc_id: r.community
            for r in refine_communities(labels, edges).collect()}
     assert got == {10: 10, 11: 10, 12: 10}
+
+
+def _hierarchical_graph():
+    """Cliques-of-cliques: 4 tight 6-cliques; pairs (0,1) and (2,3) are
+    joined by MODERATE edges, the two pairs by one weak edge.  One-level
+    LPA finds the 4 cliques; coarsening merges each moderate pair."""
+    edges = []
+    for c in range(4):
+        base = c * 6
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j, 0.05))
+    # moderate inter-pair bundles: dense enough that merging the pair
+    # improves modularity (W_ab = 36*0.3 = 10.8 > (2/3)*W_in = 9.5), sparse
+    # enough that no SINGLE node gains by moving (one-level LPA keeps the
+    # 4 cliques apart — verified by the hand computation in this test)
+    for a, b in [(0, 1), (2, 3)]:
+        for i in range(6):
+            for j in range(6):
+                edges.append((a * 6 + i, b * 6 + j, 0.7))
+    edges.append((0, 18, 0.95))    # weak cross-pair edge
+    return edges
+
+
+def test_coarsen_graph_weights(spark):
+    """Super-edge weights = summed member-edge weights; self-loops carry
+    the community-internal weight once per undirected edge."""
+    from rabbittclust_spark.operators.leiden import coarsen_graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 0.0), (0, 2, 0.5), (1, 2, 0.2), (2, 3, 0.9), (1, 3, 0.7)],
+        "src long, dst long, dist double")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "doc_id long, community long")
+    got = {(r.cu, r.cv): round(r.w, 6) for r in
+           coarsen_graph(edges, labels).collect()}
+    assert got == {(0, 0): round(1.0 + 0.5 + 0.8, 6),
+                   (0, 3): round(0.1 + 0.3, 6)}
+
+
+def test_modularity_from_coarse(spark):
+    """Q against the textbook formula on a hand-computed partition."""
+    from rabbittclust_spark.operators.leiden import (coarsen_graph,
+                                                     modularity_from_coarse)
+
+    # two triangles + one bridge, unit weights (dist 0)
+    edges = [(0, 1, 0.0), (1, 2, 0.0), (0, 2, 0.0),
+             (3, 4, 0.0), (4, 5, 0.0), (3, 5, 0.0), (2, 3, 0.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, dist double")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)],
+        "doc_id long, community long")
+    q = modularity_from_coarse(coarsen_graph(e, labels))
+    # m=7, intra each community 3, K_0 = K_3 = 7:
+    # Q = 6/14 + 6/14 - (7/14)^2 - (7/14)^2 = 6/7 - 1/2
+    assert abs(q - (6 / 7 - 0.5)) < 1e-9
+
+
+def test_multilevel_merges_beyond_one_level(spark):
+    """The coarsening pass must merge communities one-level LPA keeps
+    separate, and must not collapse across the weak cross-pair edge."""
+    from rabbittclust_spark.operators.leiden import community_multilevel
+
+    e = spark.createDataFrame(_hierarchical_graph(),
+                              "src long, dst long, dist double")
+    one = {r.doc_id: r.community
+           for r in label_propagation(e, resolution=1.0).collect()}
+    multi = {r.doc_id: r.community
+             for r in community_multilevel(e, resolution=1.0).collect()}
+    assert len(set(one.values())) == 4          # LPA: the 4 cliques
+    assert len(set(multi.values())) == 2        # Louvain: the 2 pairs
+    groups = {frozenset(d for d, c in multi.items() if c == lab)
+              for lab in set(multi.values())}
+    assert groups == {frozenset(range(0, 12)), frozenset(range(12, 24))}
+
+
+def test_multilevel_driver_equals_distributed(spark):
+    from rabbittclust_spark.operators.leiden import community_multilevel
+
+    e = spark.createDataFrame(_hierarchical_graph(),
+                              "src long, dst long, dist double")
+    fast = sorted((r.doc_id, r.community) for r in
+                  community_multilevel(e).collect())
+    dist = sorted((r.doc_id, r.community) for r in
+                  community_multilevel(e, driver_cutoff=0).collect())
+    assert fast == dist
+
+
+def test_lpa_self_loops_degree_convention(spark):
+    """Self-loops count 2w into degree/2m and are never move candidates:
+    twin and Spark path agree, and a loop-only node labels itself."""
+    edges = [(0, 1, 0.1), (1, 1, 0.2), (2, 2, 0.5)]
+    e = spark.createDataFrame(edges, "src long, dst long, dist double")
+    got = sorted((r.doc_id, r.community) for r in
+                 label_propagation(e, driver_cutoff=0).collect())
+    twin = sorted(label_propagation_reference(
+        [(u, v, max(0.0, 1.0 - d)) for u, v, d in edges],
+        weighted=True).items())
+    assert got == twin
+    assert dict(got)[2] == 2

@@ -50,3 +50,23 @@ def test_resize_metadata(spark):
     assert t[1] == (512, 384)      # 640x480 -> 512x384
     assert t[3] == (None, None)    # audio has no dims
     assert t[2] == (512, 288)      # 1920x1080 -> 512x288
+
+
+def test_decode_image_real_or_stub():
+    """decode_image is REAL when PIL is importable (round-trips a generated
+    PNG to HxWx3 uint8) and an honest NotImplementedError stub otherwise —
+    both branches of the import gate are pinned."""
+    from rabbittclust_spark.operators import multimodal as mm
+
+    if mm._PILImage is not None:
+        import io
+
+        img = mm._PILImage.new("RGB", (3, 2), (255, 0, 0))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        arr = mm.decode_image(buf.getvalue())
+        assert arr.shape == (2, 3, 3) and arr.dtype.name == "uint8"
+        assert (arr[..., 0] == 255).all() and (arr[..., 1:] == 0).all()
+    else:
+        with pytest.raises(NotImplementedError, match="PIL not importable"):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n")

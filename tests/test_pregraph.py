@@ -120,3 +120,26 @@ def test_communities_match_direct_lpa(spark, corpus, tmp_path_factory):
               "canonical_id")
         .select("doc_id", "cluster_id").collect())
     assert got == want
+
+
+def test_levels_knob_reuses_pregraph(spark, corpus, tmp_path_factory):
+    """--levels (multi-level Louvain) is a communities-stage knob: changing
+    it reuses sketches + edges and recomputes only the communities stage;
+    every doc keeps a community row."""
+    root = str(tmp_path_factory.mktemp("levels"))
+    docs = spark.createDataFrame(corpus[["doc_id", "text"]])
+    out1 = DedupPipeline(spark, CFG, root).run(docs)
+    ids1 = {s: _mid(root, s) for s in ("sketches", "edges", "communities")}
+    rows1 = out1["communities"].count()          # read BEFORE run 2 rewrites
+    n1 = out1["communities"].select("community").distinct().count()
+
+    cfg2 = dataclasses.replace(CFG, community_levels=3)
+    out2 = DedupPipeline(spark, cfg2, root).run(docs)
+    ids2 = {s: _mid(root, s) for s in ("sketches", "edges", "communities")}
+    assert ids2["sketches"] == ids1["sketches"]
+    assert ids2["edges"] == ids1["edges"]
+    assert ids2["communities"] != ids1["communities"]
+    assert out2["communities"].count() == rows1
+    # coarsening only ever MERGES base communities
+    n2 = out2["communities"].select("community").distinct().count()
+    assert n2 <= n1

@@ -93,7 +93,8 @@ def _build_cfg(args):
         max_posting=(None if args.max_posting <= 0 else args.max_posting),
         hot_hash_mode=args.hot_hash_mode,
         dedup_dist=args.dedup_dist, reps_per_cluster=args.reps_per_cluster,
-        community_resolution=args.resolution, community_knn=args.knn)
+        community_resolution=args.resolution, community_knn=args.knn,
+        community_levels=args.levels)
 
 
 def main() -> None:
@@ -124,6 +125,9 @@ def main() -> None:
                          "new value reuses the persisted graph")
     ap.add_argument("--knn", type=int, default=None,
                     help="per-node k-NN edge cap before community detection")
+    ap.add_argument("--levels", type=int, default=1,
+                    help="community detection levels: >1 enables multi-level "
+                         "Louvain coarsening (reference community_multilevel)")
     ap.add_argument("--auto-threshold", action="store_true",
                     help="write threshold_analysis.txt (reference "
                          "--auto-threshold report)")
