@@ -380,3 +380,143 @@ def srp_bucket_keys(vectors: DataFrame, num_planes: int = 16,
         return pd.Series(list(keys))
 
     return vectors.select("vec_id", F.explode(bucket_udf("vec")).alias("bucket"))
+
+
+def _kmeans_centroids(sample: np.ndarray, nlist: int, seed: int = 7,
+                      iters: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side SAMPLE: k-means++
+    seeding from a fixed generator, then ``iters`` Lloyd rounds with
+    L2-normalized centroids (cosine geometry).  The sample is bounded by
+    the caller, so this is O(sample * nlist) driver work — the centroids
+    are the only state shipped to executors (a tiny broadcast)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    # k-means++ seeding
+    idx = [int(rng.integers(n))]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, nlist):
+        d2 = np.minimum(d2, 1.0 - x @ x[idx[-1]])
+        probs = np.maximum(d2, 0)
+        s = probs.sum()
+        if s <= 0:
+            idx.append(int(rng.integers(n)))
+            continue
+        idx.append(int(rng.choice(n, p=probs / s)))
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    c[j] = m / nm
+    return c
+
+
+def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
+              sample_cap: int = 20_000, id_col: str = "vec_id",
+              vec_col: str = "embedding"
+              ) -> tuple[DataFrame, np.ndarray]:
+    """IVF (inverted-file) index: (assignments(vec_id, list_id), centroids).
+
+    The OTHER standard ANN scale path next to SRP-LSH: centroids are
+    learned on a bounded driver-side sample (deterministic seed), then
+    every corpus vector is assigned to its nearest centroid in a single
+    narrow mapInPandas pass — no shuffle; the posting lists ARE the
+    (vec_id, list_id) table, ready for an equi-join probe.  ``nlist=None``
+    sizes the list count to ~sqrt(N) (the usual IVF-flat rule), the same
+    corpus-adaptive sizing philosophy as auto_planes."""
+    e = _prep(corpus, id_col, vec_col)
+    n = e.count()
+    if n == 0:
+        empty = e.sparkSession.createDataFrame([], "vec_id long, list_id int")
+        return empty, np.zeros((0, 0))
+    if nlist is None:
+        import math
+        nlist = max(1, min(4096, int(math.isqrt(n))))
+    frac = min(1.0, sample_cap / max(n, 1))
+    pdf = (e.sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
+           if frac < 1.0 else e.toPandas())
+    sample = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    nlist = min(nlist, len(sample))
+    cents = _kmeans_centroids(sample, nlist, seed=seed)
+
+    def assign(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                               for v in b["vec"]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-12)
+            yield pd.DataFrame({
+                "vec_id": b["vec_id"],
+                "list_id": np.argmax(vecs @ cents.T, axis=1).astype(np.int32),
+            })
+
+    lists = e.select("vec_id", "vec").mapInPandas(
+        assign, schema="vec_id long, list_id int")
+    return lists, cents
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             nlist: int | None = None, nprobe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_dp: int | None = 6) -> DataFrame:
+    """Approximate cosine top-k via IVF-flat probe: queries visit their
+    ``nprobe`` nearest centroid lists; only vectors in those lists are
+    scored exactly, then a per-query ranking window — candidates per query
+    are ~nprobe/nlist of the corpus instead of all of it.  Returns
+    (query_id, neighbor_id, cos, rank), self excluded; recall vs the
+    brute-force baseline is pinned in tests/test_ann.py.
+
+    Scale shape: the probe is a plain equi-join on list_id (no cartesian,
+    no skewed key unless the corpus is one dense ball — nlist ~ sqrt(N)
+    keeps lists near sqrt(N) rows), and the centroid table never leaves
+    the driver except as a closure broadcast."""
+    c = _prep(corpus, id_col, vec_col)
+    lists, cents = ivf_index(corpus, nlist=nlist, seed=seed,
+                             id_col=id_col, vec_col=vec_col)
+    if cents.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int")
+    q = _prep(queries, id_col, vec_col)
+    nprobe = min(nprobe, len(cents))
+
+    def probe(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            vecs = np.asarray([np.asarray(v, dtype=np.float64)
+                               for v in b["vec"]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = (vecs / np.maximum(norms, 1e-12)) @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(b["vec_id"].to_numpy(), nprobe),
+                "list_id": top.reshape(-1).astype(np.int32),
+            })
+
+    q_lists = q.select("vec_id", "vec").mapInPandas(
+        probe, schema="query_id long, list_id int")
+    cand = (q_lists.join(lists, "list_id")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+            .join(q.select(F.col("vec_id").alias("query_id"),
+                           F.col("vec").alias("qvec")), "query_id")
+            .join(c.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("vec").alias("nvec")), "neighbor_id"))
+    cos = cosine_expr(F.col("nvec"), F.col("qvec"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    if round_dp is not None:
+        out = out.withColumn("cos", F.round("cos", round_dp))
+    return out.select("query_id", "neighbor_id", "cos", "rank")

@@ -279,3 +279,60 @@ def test_auto_planes_default_recall_with_cap_firing(spark):
     got_old = {(r.src, r.dst) for r in old.select("src", "dst").collect()}
     found_old = sum(1 for p in planted if p in got_old)
     assert found_old / len(planted) < 0.5
+
+
+def _clustered_vectors(spark, n_clusters=30, per=60, dim=16, seed=9):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows, queries, truth = [], [], {}
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim) * 3
+        for _ in range(per):
+            rows.append((vid, (center + rng.standard_normal(dim) * 0.2).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return corpus, rows
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF-flat probe (the second ANN scale path next to SRP-LSH): top-1
+    recall >= 0.9 vs the exact baseline on cluster-structured vectors —
+    the geometry IVF exists for.  nlist auto-sizes to ~sqrt(N)."""
+    from rabbittclust_spark.operators.ann import brute_force_topk, ivf_topk
+
+    corpus, rows = _clustered_vectors(spark)
+    queries = spark.createDataFrame(rows[::40],
+                                    "vec_id long, embedding array<double>")
+    exact = {r.query_id: r.neighbor_id
+             for r in brute_force_topk(corpus, queries, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id
+              for r in ivf_topk(corpus, queries, k=1, nprobe=4).collect()}
+    hits = sum(1 for qid, nb in exact.items() if approx.get(qid) == nb)
+    assert hits / len(exact) >= 0.9, (hits, len(exact))
+
+
+def test_ivf_topk_deterministic(spark):
+    from rabbittclust_spark.operators.ann import ivf_topk
+
+    corpus, rows = _clustered_vectors(spark, n_clusters=8, per=25)
+    queries = spark.createDataFrame(rows[::30],
+                                    "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, ivf_topk(corpus, queries, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(corpus, queries, k=3).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_ivf_index_covers_corpus(spark):
+    """Every vector lands in exactly one list; centroids are unit-norm."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.ann import ivf_index
+
+    corpus, rows = _clustered_vectors(spark, n_clusters=5, per=20)
+    lists, cents = ivf_index(corpus, nlist=5)
+    got = lists.groupBy("vec_id").count().where("count != 1").count()
+    assert got == 0
+    assert lists.count() == len(rows)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
