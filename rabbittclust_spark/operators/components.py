@@ -136,13 +136,19 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # fingerprint + (small path) collect run on the LAZY plan: actions keep
-    # AQE active, whereas eager localCheckpoint would execute the plan with
-    # AQE finalization disabled (observed: SMJ sorting wide payload rows).
+    # materialize the normalized edge set ONCE (temp-parquet barrier, AQE
+    # stays active — see sources.tables.materialize): the fingerprint, the
+    # small-path collect, and the big path's first iteration all read the
+    # same 16-byte rows from parquet.  Without this the upstream plan (for
+    # callers passing a composed edge build) executed once per action —
+    # measured 2x the whole token-edge join for the fingerprint + collect
+    # pair; for already-materialized callers the extra narrow write is
+    # ~1 s per 1.6M edges.
+    from rabbittclust_spark.sources.tables import materialize
+    e = materialize(e, "cc_edges")
     prev_fp = _edge_fingerprint(e)
     if prev_fp[0] <= driver_cutoff:
         return _driver_union_find(e)
-    e = e.localCheckpoint(eager=True)  # big path: pay materialization once
     converged = False
     for it in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -158,13 +158,20 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             raise ValueError("knn cap requires a distance column")
         edges = knn_cap_edges(edges, knn, src=src, dst=dst, dist_col=dist_col)
         src, dst, dist_col = "src", "dst", "dist"
+    # normalize + materialize ONCE: the cutoff count, the fast-path
+    # collect, and the distributed symmetrization all read the same narrow
+    # (u, v, w) parquet instead of re-executing the caller's composed edge
+    # plan per action (measured 2x the token-edge join without this)
+    wexpr = _weight_expr(dist_col, weight_col)
+    norm = materialize(
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     wexpr.alias("w")), "lpa_edges")
+    src, dst, dist_col, weight_col = "u", "v", None, "w"
     if driver_cutoff:
-        n_edges = edges.count()
+        n_edges = norm.count()
         if n_edges <= driver_cutoff:
-            wexpr = _weight_expr(dist_col, weight_col)
-            pdf = edges.select(F.col(src).cast("long"),
-                               F.col(dst).cast("long"),
-                               wexpr.alias("_w")).toPandas()
+            pdf = norm.toPandas()
             triples = [
                 (int(r[0]), int(r[1]), float(r[2]))
                 for r in pdf.itertuples(index=False)
@@ -177,7 +184,7 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             out = [(int(u), int(c)) for u, c in sorted(labels.items())]
             return edges.sparkSession.createDataFrame(
                 out or [], "doc_id long, community long")
-    sym, loops = _prep_graph(edges, src, dst, dist_col, weight_col)
+    sym, loops = _prep_graph(norm, src, dst, dist_col, weight_col)
     sym = materialize(sym, "lpa_sym")
     # weighted degree k = incident non-loop weight + 2*self-loop weight
     # (full join: loop-only nodes still participate, labeled themselves)

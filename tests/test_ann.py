@@ -336,3 +336,23 @@ def test_ivf_index_covers_corpus(spark):
     assert got == 0
     assert lists.count() == len(rows)
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_ivf_plan_no_cartesian(spark):
+    """The IVF probe must stay an equi-join on list_id — no cartesian or
+    nested-loop join anywhere in the plan."""
+    import contextlib
+    import io
+
+    from rabbittclust_spark.operators.ann import ivf_topk
+
+    corpus, rows = _clustered_vectors(spark, n_clusters=4, per=15)
+    queries = spark.createDataFrame(rows[::20],
+                                    "vec_id long, embedding array<double>")
+    out = ivf_topk(corpus, queries, k=2, nprobe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
