@@ -402,7 +402,8 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
                          dist_col: str | None = "dist",
                          knn: int | None = None,
                          driver_cutoff: int = 2_000_000,
-                         min_gain: float = 1e-9) -> DataFrame:
+                         min_gain: float = 1e-9,
+                         weight_col: str | None = None) -> DataFrame:
     """Multi-level Louvain (reference community_multilevel,
     src/leiden.cpp:295-471; Blondel et al. 2008): LPA to a local optimum,
     collapse communities into super-nodes (coarsen_graph), re-run LPA on
@@ -420,10 +421,27 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
             raise ValueError("knn cap requires a distance column")
         edges = knn_cap_edges(edges, knn, src=src, dst=dst, dist_col=dist_col)
         src, dst, dist_col = "src", "dst", "dist"
+    # normalize to explicit weights once; the cutoff count, the fast-path
+    # collect, and every level's first read share this parquet barrier
+    wexpr = _weight_expr(dist_col, weight_col)
+    norm = materialize(
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"),
+                     wexpr.alias("w")), "ml_edges")
+    if driver_cutoff and norm.count() <= driver_cutoff:
+        pdf = norm.toPandas()
+        triples = [(int(r[0]), int(r[1]), float(r[2]))
+                   for r in pdf.itertuples(index=False)]
+        labels = community_multilevel_reference(
+            triples, resolution=resolution, max_iter=max_iter,
+            max_levels=max_levels, min_gain=min_gain, weighted=True)
+        out = [(int(u), int(c)) for u, c in sorted(labels.items())]
+        return edges.sparkSession.createDataFrame(
+            out or [], "doc_id long, community long")
     mapping: DataFrame | None = None
     prev_q: float | None = None
-    cur, cur_src, cur_dst = edges, src, dst
-    cur_dist, cur_weight = dist_col, None
+    cur, cur_src, cur_dst = norm, "u", "v"
+    cur_dist, cur_weight = None, "w"
     for level in range(max_levels):
         labels = label_propagation(cur, resolution=resolution,
                                    max_iter=max_iter, src=cur_src,
@@ -459,3 +477,63 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
         return edges.sparkSession.createDataFrame(
             [], "doc_id long, community long")
     return mapping
+
+
+def community_multilevel_reference(edge_list, resolution: float = 1.0,
+                                   max_iter: int = 20, max_levels: int = 10,
+                                   min_gain: float = 1e-9,
+                                   weighted: bool = False):
+    """Single-process twin of :func:`community_multilevel` — the identical
+    per-level sequence (LPA with monotone labels on coarse levels, coarsen,
+    modularity stopping, mapping composition) on collected edges; the
+    driver fast-path below the edge cutoff.  Returns {node: community}.
+    Equality with the distributed path is tested in tests/test_leiden.py."""
+    from collections import defaultdict
+
+    if not edge_list:
+        return {}
+    cur = [(u, v, (w if weighted else max(0.0, 1.0 - w)))
+           for u, v, w in edge_list]
+    mapping: dict | None = None
+    prev_q: float | None = None
+
+    def _modularity(coarse: dict) -> float:
+        deg: dict = defaultdict(float)
+        intra = 0.0
+        for (a, b), w in coarse.items():
+            if a == b:
+                deg[a] += 2.0 * w
+                intra += 2.0 * w
+            else:
+                deg[a] += w
+                deg[b] += w
+        m2 = sum(deg.values())
+        if m2 <= 0:
+            return 0.0
+        return (intra / m2
+                - resolution * sum(k * k for k in deg.values()) / (m2 * m2))
+
+    for level in range(max_levels):
+        labels = label_propagation_reference(cur, resolution=resolution,
+                                             max_iter=max_iter, weighted=True,
+                                             monotone=level > 0)
+        if not labels:
+            break
+        moved = sum(1 for n, c in labels.items() if n != c)
+        coarse: dict = defaultdict(float)
+        for u, v, w in cur:
+            if u == v:
+                cu = cv = labels[u]
+            else:
+                cu, cv = sorted((labels[u], labels[v]))
+            coarse[(cu, cv)] += w
+        q = _modularity(coarse)
+        if level > 0 and prev_q is not None and q <= prev_q + min_gain:
+            break
+        mapping = labels if mapping is None else \
+            {n: labels[c] for n, c in mapping.items()}
+        prev_q = q
+        if moved == 0:
+            break
+        cur = [(a, b, w) for (a, b), w in coarse.items()]
+    return mapping or {}
