@@ -35,10 +35,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
     NULL texts hash to NULL; the join back is null-safe so those rows are
     grouped together (all NULLs are "identical") instead of silently lost."""
+    from rabbittclust_spark.sources.tables import materialize
+
     h = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("h"),
     )
+    # the hash table is consumed twice (canonical-min aggregate + join
+    # back); without a barrier both consumers re-scan the full text column
+    # and re-hash it — the barrier is a ~40-byte-row table
+    h = materialize(h, "exact_h")
     canon = h.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
     return (h.alias("l")
             .join(canon.alias("r"), F.col("l.h").eqNullSafe(F.col("r.h")))
