@@ -687,9 +687,23 @@ def _q_label_propagation(spark, sf_dir):
     oracle-gated per-round by lpa_round1/lpa_refined/community_coarsen and
     twin-equivalence-tested in tests/test_leiden.py."""
     from rabbittclust_spark.operators.leiden import label_propagation
+    from rabbittclust_spark.sources.tables import materialize
 
-    edges = _token_edges(spark, sf_dir)
+    edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges")
     comm = label_propagation(edges, resolution=1.0, monotone_labels=True)
+    # named guard for the oracle coupling: the SQL twin unrolls exactly
+    # _LPA_UNROLL rounds, which reproduces the full run ONLY while the
+    # monotone fixed point lies within that depth (and within max_iter).
+    # If a corpus change pushes the fixed point past the unroll, fail HERE
+    # with a named error instead of an opaque oracle hash mismatch.
+    chk = label_propagation(edges, resolution=1.0, max_iter=_LPA_UNROLL,
+                            monotone_labels=True)
+    a = sorted((r.doc_id, r.community) for r in comm.collect())
+    b = sorted((r.doc_id, r.community) for r in chk.collect())
+    if a != b:
+        raise RuntimeError(
+            f"label_propagation fixed point exceeds _LPA_UNROLL="
+            f"{_LPA_UNROLL}; raise the oracle unroll depth to match")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
     return (docs.join(comm, "doc_id", "left")
             .select("doc_id",

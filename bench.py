@@ -120,6 +120,10 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs": n_docs,
         "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
+        # r4 metric change: flagship value = min of 3 load-gated walls
+        # (rounds 1-3 recorded a single cold run; compare via the raw
+        # walls below, whose FIRST entry is the old single-run metric)
+        "flagship_metric": "min_of_3",
         "flagship_walls": flagship_walls,
         "rows": rows,
         "cpus": int(cpus),

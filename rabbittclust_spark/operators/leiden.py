@@ -125,7 +125,8 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       knn: int | None = None,
                       driver_cutoff: int = 2_000_000,
                       weight_col: str | None = None,
-                      monotone_labels: bool = False) -> DataFrame:
+                      monotone_labels: bool = False,
+                      _materialized: bool = False) -> DataFrame:
     """edges -> (doc_id, community) for every node appearing in edges.
 
     Community ids are label values (node ids); singletons are absent —
@@ -161,12 +162,15 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
     # normalize + materialize ONCE: the cutoff count, the fast-path
     # collect, and the distributed symmetrization all read the same narrow
     # (u, v, w) parquet instead of re-executing the caller's composed edge
-    # plan per action (measured 2x the token-edge join without this)
+    # plan per action (measured 2x the token-edge join without this).
+    # ``_materialized=True`` (community_multilevel, whose level inputs are
+    # already parquet barriers) skips the redundant second write.
     wexpr = _weight_expr(dist_col, weight_col)
-    norm = materialize(
-        edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"),
-                     wexpr.alias("w")), "lpa_edges")
+    norm = edges.select(F.col(src).cast("long").alias("u"),
+                        F.col(dst).cast("long").alias("v"),
+                        wexpr.alias("w"))
+    if not _materialized:
+        norm = materialize(norm, "lpa_edges")
     src, dst, dist_col, weight_col = "u", "v", None, "w"
     if driver_cutoff:
         n_edges = norm.count()
@@ -450,7 +454,10 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
                                    weight_col=cur_weight,
                                    # coarse levels: break the two-super-node
                                    # swap symmetry (see label_propagation)
-                                   monotone_labels=level > 0)
+                                   monotone_labels=level > 0,
+                                   # every level input here is already a
+                                   # parquet barrier (ml_edges / ml_coarse)
+                                   _materialized=True)
         labels = materialize(labels, "ml_labels")
         moved = labels.where(F.col("doc_id") != F.col("community")).count()
         coarse = materialize(

@@ -80,7 +80,10 @@ def extract_features(media: DataFrame, strict: bool = False,
     independent -> narrow map, no shuffle; Arrow batch size is bounded by the
     session's maxRecordsPerBatch and payloads stream batch-by-batch (the
     iterator form never holds a whole partition in memory).
-    strict=True uses the real (stubbed) codecs and therefore raises.
+    strict=True decodes payloads with the real codecs where available
+    (images via PIL when importable) and raises on undecodable payloads or
+    missing codecs; strict=False always falls back to the deterministic
+    byte-histogram feature.
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -92,36 +92,38 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
 
     counts = postings.groupBy(key).agg(F.count("*").alias("_pl"))
     hot_counts = counts.where(F.col("_pl") > cfg.max_posting)
-    # ONE aggregate job decides the common case (nothing hot): collect only
-    # the (n_hot, n_post) totals, never the keys — this path runs on EVERY
-    # probe/index/banded build, so its no-hot-keys cost must stay at a
-    # single aggregation and a driver transfer of one row
-    agg = hot_counts.agg(
-        F.count("*").alias("nh"),
-        F.coalesce(F.sum("_pl"), F.lit(0)).alias("np")).collect()[0]
-    n_hot, n_post = int(agg["nh"]), int(agg["np"])
-    if n_hot == 0:
-        # common case: nothing hot — the finite default cap costs one
-        # count job and changes nothing in the plan
+    # ONE job decides both the common case (nothing hot -> empty collect)
+    # and the normal hot case (keys + counts in the same collect, bounded
+    # by the limit) — this path runs on EVERY probe/index/banded build, so
+    # its cost must stay at a single aggregation; only an adversarial
+    # above-limit hot set pays extra jobs
+    hot_rows = hot_counts.limit(HOT_KEY_COLLECT_LIMIT + 1).collect()
+    if not hot_rows:
         return postings, None
     star_mode = allow_star and cfg.hot_hash_mode == "star"
+    if len(hot_rows) <= HOT_KEY_COLLECT_LIMIT:
+        # small hot set (the measured reality: 13 keys at 1M docs):
+        # broadcast a local relation — no extra shuffle, no second job
+        n_hot = len(hot_rows)
+        n_post = sum(int(r["_pl"]) for r in hot_rows)
+        hot = F.broadcast(postings.sparkSession.createDataFrame(
+            [(r[key],) for r in hot_rows], schema=counts.select(key).schema))
+    else:
+        # adversarial hot set: true totals for the log, then keep the key
+        # table distributed — parquet-materialize it (both the anti-join
+        # and the star join re-read it) and let the joins shuffle; never
+        # ship millions of rows via the driver
+        agg = hot_counts.agg(
+            F.count("*").alias("nh"),
+            F.coalesce(F.sum("_pl"), F.lit(0)).alias("np")).collect()[0]
+        n_hot, n_post = int(agg["nh"]), int(agg["np"])
+        from rabbittclust_spark.sources.tables import materialize
+        hot = materialize(hot_counts.select(key), "hot_keys")
     _LOG.warning(
         "max_posting=%d [%s]: %d hot keys covering %d postings %s",
         cfg.max_posting, label, n_hot, n_post,
         "escalated via anchor-star candidates" if star_mode
         else "DROPPED (reference --max-posting behavior)")
-    if n_hot <= HOT_KEY_COLLECT_LIMIT:
-        # small hot set (the measured reality: 13 keys at 1M docs): collect
-        # the keys and broadcast a local relation — no extra shuffle
-        hot_rows = hot_counts.select(key).collect()
-        hot = F.broadcast(postings.sparkSession.createDataFrame(
-            [(r[key],) for r in hot_rows], schema=counts.select(key).schema))
-    else:
-        # adversarial hot set: keep it distributed — parquet-materialize the
-        # key table (both the anti-join and the star join re-read it) and
-        # let the joins shuffle; never ship millions of rows via the driver
-        from rabbittclust_spark.sources.tables import materialize
-        hot = materialize(hot_counts.select(key), "hot_keys")
     cold = postings.join(hot, key, "left_anti")
     if not star_mode:
         return cold, None

@@ -290,3 +290,32 @@ def test_lpa_self_loops_degree_convention(spark):
         weighted=True).items())
     assert got == twin
     assert dict(got)[2] == 2
+
+
+def test_monotone_matches_twin_random_graphs(spark):
+    """Monotone-label mode: distributed == numpy twin on random graphs
+    (the coarse-level update rule and the full-run oracle both depend on
+    this equivalence), and labels never exceed the node id at a fixed
+    point (monotone invariant)."""
+    import random as _random
+
+    from rabbittclust_spark.operators.leiden import label_propagation
+
+    for seed in (3, 19):
+        rng = _random.Random(seed)
+        edges, seen = [], set()
+        for _ in range(100):
+            u, v = rng.randrange(25), rng.randrange(25)
+            key = (min(u, v), max(u, v))
+            if u == v or key in seen:
+                continue
+            seen.add(key)
+            edges.append((*key, round(rng.uniform(0.0, 1.0), 3)))
+        df = spark.createDataFrame(edges, "src long, dst long, dist double")
+        got = sorted((r.doc_id, r.community) for r in label_propagation(
+            df, driver_cutoff=0, monotone_labels=True).collect())
+        ref = sorted(label_propagation_reference(
+            [(u, v, max(0.0, 1.0 - d)) for u, v, d in edges],
+            weighted=True, monotone=True).items())
+        assert got == ref, seed
+        assert all(c <= n for n, c in got)

@@ -37,10 +37,18 @@ def test_feature_extraction_shape_and_determinism(spark):
 
 def test_strict_mode_raises(spark):
     m = _media(spark)
-    with pytest.raises(Exception):  # stubbed codecs raise inside the UDF
+    with pytest.raises(Exception):  # codecs raise inside the UDF: the
+        # audio/video stubs always; image on the fixture's junk bytes
+        # whether PIL decodes for real (UnidentifiedImageError) or the
+        # no-PIL stub fires (NotImplementedError)
         extract_features(m, strict=True).collect()
-    with pytest.raises(NotImplementedError):
-        decode_image(b"x")
+    from rabbittclust_spark.operators import multimodal as mm
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"x")
+    else:
+        with pytest.raises(Exception):  # junk bytes are not an image
+            decode_image(b"x")
 
 
 def test_resize_metadata(spark):
