@@ -690,17 +690,29 @@ def _q_label_propagation(spark, sf_dir):
     from rabbittclust_spark.sources.tables import materialize
 
     edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges")
-    comm = label_propagation(edges, resolution=1.0, monotone_labels=True)
+    comm = label_propagation(edges, resolution=1.0, monotone_labels=True,
+                             _materialized=True)
     # named guard for the oracle coupling: the SQL twin unrolls exactly
     # _LPA_UNROLL rounds, which reproduces the full run ONLY while the
     # monotone fixed point lies within that depth (and within max_iter).
     # If a corpus change pushes the fixed point past the unroll, fail HERE
     # with a named error instead of an opaque oracle hash mismatch.
+    # Compared by (count, order-free hash-sum) fingerprint — ADVICE r4:
+    # collecting both full assignment sets pulled every row through the
+    # driver and roughly tripled the cost bench.py records for this query.
     chk = label_propagation(edges, resolution=1.0, max_iter=_LPA_UNROLL,
-                            monotone_labels=True)
-    a = sorted((r.doc_id, r.community) for r in comm.collect())
-    b = sorted((r.doc_id, r.community) for r in chk.collect())
-    if a != b:
+                            monotone_labels=True, _materialized=True)
+
+    def _fp(df):
+        # bit_xor: order-free and cannot overflow under ANSI mode (a plain
+        # SUM of xxhash64 values throws ARITHMETIC_OVERFLOW); rows are
+        # unique per doc_id so xor-cancellation needs a genuine diff
+        r = df.agg(F.count("*").alias("n"),
+                   F.expr("bit_xor(xxhash64(doc_id, community))").alias("h")
+                   ).collect()[0]
+        return (r["n"], r["h"])
+
+    if _fp(comm) != _fp(chk):
         raise RuntimeError(
             f"label_propagation fixed point exceeds _LPA_UNROLL="
             f"{_LPA_UNROLL}; raise the oracle unroll depth to match")

@@ -72,27 +72,30 @@ def _verify_cosine(cand: DataFrame, e: DataFrame, tau: float,
 
 def embedding_neardup_pairs(embeddings: DataFrame, tau: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            use_lsh: bool = False, num_planes: int = 16,
+                            use_lsh: bool = False,
+                            num_planes: int | None = None,
                             num_tables: int = 4, seed: int = 7,
                             round_dp: int | None = 6) -> DataFrame:
     """Near-duplicate embedding pairs: (src, dst, cos) with cos >= tau.
 
     use_lsh=False: all-pairs (tests / small corpora).
-    use_lsh=True: sign-random-projection buckets; only within-bucket pairs
-    are scored (recall < 1, tunable via num_planes/num_tables) — the path
-    that survives a 100x scale-up.
+    use_lsh=True: delegates to :func:`embedding_neardup_lsh` — ONE hardened
+    LSH code path (auto-sized planes by default, capped buckets with
+    anchor-star escalation).  The pre-r5 inline branch kept a fixed
+    num_planes=16 and an uncapped bucket self-join next to the hardened
+    entrypoint — exactly the O(N^2 / 2^planes) shape the auto-sizing work
+    exists to prevent, waiting for whoever found this wrapper first.
     """
     e = _prep(embeddings, id_col, vec_col)
     if use_lsh:
-        keyed = srp_bucket_keys(e, num_planes=num_planes, num_tables=num_tables,
-                                seed=seed)
-        a, b = keyed.alias("a"), keyed.alias("b")
-        cand = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-                .where(F.col("a.vec_id") < F.col("b.vec_id"))
-                .select(F.col("a.vec_id").alias("src"),
-                        F.col("b.vec_id").alias("dst"))
-                .distinct())
-        return _verify_cosine(cand, e, tau, round_dp)
+        dim_row = e.select(F.size("vec").alias("d")).first()
+        if dim_row is None:
+            return e.sparkSession.createDataFrame(
+                [], "src long, dst long, cos double")
+        return embedding_neardup_lsh(
+            e, tau=tau, dim=int(dim_row["d"]), num_planes=num_planes,
+            num_tables=num_tables, seed=seed, round_dp=round_dp,
+            id_col="vec_id", vec_col="vec")
     a = e.select(F.col("vec_id").alias("src"), F.col("vec").alias("va"))
     b = e.select(F.col("vec_id").alias("dst"), F.col("vec").alias("vb"))
     cand = a.join(b, F.col("src") < F.col("dst"))
@@ -391,19 +394,34 @@ def _kmeans_centroids(sample: np.ndarray, nlist: int, seed: int = 7,
     are the only state shipped to executors (a tiny broadcast)."""
     rng = np.random.default_rng(seed)
     n = len(sample)
+    if n == 0:
+        # empty sample (e.g. a degenerate sampled read) — empty centroid
+        # set; ivf_topk/ivf_index already handle cents.size == 0
+        return np.zeros((0, sample.shape[1] if sample.ndim == 2 else 0))
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     x = sample / np.maximum(norms, 1e-12)
-    # k-means++ seeding
+    # k-means++ seeding; `chosen` keeps rng.choice from re-picking an
+    # already-selected point (float fuzz can leave d2 > 0 at a chosen
+    # index), which would yield duplicate centroids and permanently empty
+    # IVF lists
+    chosen = np.zeros(n, dtype=bool)
     idx = [int(rng.integers(n))]
+    chosen[idx[0]] = True
     d2 = np.full(n, np.inf)
-    for _ in range(1, nlist):
+    for _ in range(1, min(nlist, n)):
         d2 = np.minimum(d2, 1.0 - x @ x[idx[-1]])
         probs = np.maximum(d2, 0)
+        probs[chosen] = 0.0
         s = probs.sum()
         if s <= 0:
-            idx.append(int(rng.integers(n)))
-            continue
-        idx.append(int(rng.choice(n, p=probs / s)))
+            rest = np.flatnonzero(~chosen)
+            nxt = int(rest[rng.integers(len(rest))])
+        else:
+            nxt = int(rng.choice(n, p=probs / s))
+            if chosen[nxt]:
+                nxt = int(np.flatnonzero(~chosen)[0])
+        idx.append(nxt)
+        chosen[nxt] = True
     c = x[idx].copy()
     for _ in range(iters):
         assign = np.argmax(x @ c.T, axis=1)
@@ -442,6 +460,9 @@ def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
     pdf = (e.sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
            if frac < 1.0 else e.toPandas())
     sample = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+    if len(sample) == 0:
+        empty = e.sparkSession.createDataFrame([], "vec_id long, list_id int")
+        return empty, np.zeros((0, 0))
     nlist = min(nlist, len(sample))
     cents = _kmeans_centroids(sample, nlist, seed=seed)
 

@@ -356,3 +356,46 @@ def test_ivf_plan_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroids_empty_and_degenerate():
+    """ADVICE r4 guards: an empty sample returns an empty centroid set
+    (instead of rng.integers(0) ValueError), and k-means++ seeding never
+    re-picks an already-chosen index — a duplicate-heavy sample with 3
+    distinct points and nlist=3 must yield 3 distinct centroids (duplicate
+    centroids leave IVF lists permanently empty, silently cutting recall)."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.ann import _kmeans_centroids
+
+    out = _kmeans_centroids(np.zeros((0, 5)), 3)
+    assert out.shape[0] == 0
+
+    pts = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    sample = np.repeat(pts, 40, axis=0)  # 120 rows, 3 distinct coords
+    cents = _kmeans_centroids(sample, 3)
+    assert cents.shape == (3, 3)
+    assert len({tuple(np.round(c, 9)) for c in cents}) == 3
+
+
+def test_neardup_pairs_lsh_delegates_hardened_path(spark):
+    """use_lsh=True now routes through embedding_neardup_lsh (one hardened
+    LSH code path): auto-sized planes by default and identical results to
+    the direct entrypoint at a fixed configuration."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.ann import embedding_neardup_lsh
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((60, 24))
+    dup = base[0] + 0.001 * rng.standard_normal(24)
+    vecs = np.vstack([base, dup])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    via_wrapper = sorted((r.src, r.dst, r.cos) for r in embedding_neardup_pairs(
+        df, tau=0.99, use_lsh=True, num_planes=8, num_tables=8).collect())
+    direct = sorted((r.src, r.dst, r.cos) for r in embedding_neardup_lsh(
+        df, tau=0.99, dim=24, num_planes=8, num_tables=8).collect())
+    assert via_wrapper == direct
+    assert (0, 60) in {(s, d) for s, d, _ in via_wrapper}

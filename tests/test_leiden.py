@@ -319,3 +319,74 @@ def test_monotone_matches_twin_random_graphs(spark):
             weighted=True, monotone=True).items())
         assert got == ref, seed
         assert all(c <= n for n, c in got)
+
+
+def test_reference_array_entrypoint_equivalence():
+    """The zero-copy array entrypoint (3-tuple of numpy arrays) returns
+    exactly the same dict as the triples-list form — the r5 driver fast
+    paths hand pdf[col].to_numpy() straight in (VERDICT r4 item #5)."""
+    import numpy as np
+
+    edges = _planted_graph(seed=21)
+    eu = np.array([e[0] for e in edges], dtype=np.int64)
+    ev = np.array([e[1] for e in edges], dtype=np.int64)
+    dd = np.array([e[2] for e in edges], dtype=np.float64)
+    assert (label_propagation_reference(edges)
+            == label_propagation_reference((eu, ev, dd)))
+
+    from rabbittclust_spark.operators.leiden import (
+        community_multilevel_reference,
+    )
+    assert (community_multilevel_reference(edges)
+            == community_multilevel_reference((eu, ev, dd)))
+
+
+def test_multilevel_zero_weight_graph(spark):
+    """All-zero-weight edges: LPA has no label set (m2 == 0) — the
+    multilevel loop must keep the previous mapping / return empty instead
+    of silently dropping every doc through an inner-join composition
+    (ADVICE r4: leiden.py community_multilevel degenerate case)."""
+    from rabbittclust_spark.operators.leiden import (
+        community_multilevel,
+        community_multilevel_reference,
+    )
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0)]  # dist 1.0 -> weight 0.0
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    assert community_multilevel(df, driver_cutoff=0).count() == 0
+    assert community_multilevel(df).count() == 0
+    assert community_multilevel_reference(edges) == {}
+
+
+def test_normalize_weights_twin(spark):
+    """normalize_weights: distributed == twin under the reference's
+    narrow-range min-max gate (src/leiden.cpp:344-366), and the gate is
+    faithful: a wide range (>= 0.5) or a degenerate range (<= 1e-6)
+    passes weights through unchanged."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.leiden import (
+        _minmax_normalize_arrays,
+    )
+
+    # narrow band like the reference's [0.9, 1.0] similarity weights
+    edges = [(0, 1, 0.02), (1, 2, 0.05), (2, 3, 0.09), (0, 3, 0.01),
+             (3, 4, 0.08), (4, 5, 0.03)]
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    got = sorted((r.doc_id, r.community) for r in label_propagation(
+        df, driver_cutoff=0, normalize_weights=True).collect())
+    ref = sorted(label_propagation_reference(
+        edges, normalize=True).items())
+    assert got == ref
+    # driver fast path agrees too
+    drv = sorted((r.doc_id, r.community) for r in label_propagation(
+        df, normalize_weights=True).collect())
+    assert drv == ref
+
+    w = np.array([0.91, 0.95, 1.0])
+    out = _minmax_normalize_arrays(w)
+    assert np.allclose(out, (w - 0.91) / (1.0 - 0.91))
+    wide = np.array([0.1, 0.9])
+    assert np.array_equal(_minmax_normalize_arrays(wide), wide)
+    flat = np.array([0.5, 0.5])
+    assert np.array_equal(_minmax_normalize_arrays(flat), flat)
