@@ -89,42 +89,51 @@ def main() -> None:
         "topk_orders",
         "events_stats",
     ]
+    # r5 methodology (VERDICT r4 item #1 + ADVICE): EVERY headline query
+    # runs 3 load-gated times, not just the flagship.  8 of 14 single-run
+    # walls drifted up in r4 with no way to decide noise vs regression —
+    # the per-query walls arrays make that decidable.  The reported
+    # per-query number ("queries") is the COLD first wall, directly
+    # comparable with rounds 1-4 (which timed single cold runs);
+    # "queries_min3" is the warm operator cost, the regression signal
+    # (compare min-of-3 round-over-round, >15% drift needs a cause).
+    walls: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in headline:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        ws: list[float] = []
+        for i in range(3):
+            if i:
+                _wait_for_quiet(max_wait=10)
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            ws.append(round(time.time() - t0, 3))
+        walls[name] = ws
+        timings[name] = ws[0]
         rows[name] = n
-
-    # flagship best-of-3: two r2->r3 driver benches drifted up inside the
-    # documented host-noise band; three walls per round make noise vs
-    # regression decidable (all three are reported in flagship_walls)
-    flagship_walls = [timings["minhash_dedup"]]
-    for _ in range(2):
-        _wait_for_quiet(max_wait=30)
-        t0 = time.time()
-        qs["minhash_dedup"](spark, sf_dir).count()
-        flagship_walls.append(round(time.time() - t0, 3))
-    timings["minhash_dedup"] = min(flagship_walls)
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     flagship = timings["minhash_dedup"]
+    flagship_min = min(walls["minhash_dedup"])
     out = {
         "metric": "minhash_lsh_dedup_wall_seconds",
+        # ADVICE r4: the headline value is the cold FIRST wall (the
+        # round-over-round comparable — rounds 1-3 recorded exactly this);
+        # min-of-3 stays as the secondary warm figure
         "value": flagship,
         "unit": "sec",
         "queries": timings,
+        "queries_min3": {k: min(v) for k, v in walls.items()},
+        "walls": walls,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs": n_docs,
         "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
-        # r4 metric change: flagship value = min of 3 load-gated walls
-        # (rounds 1-3 recorded a single cold run; compare via the raw
-        # walls below, whose FIRST entry is the old single-run metric)
-        "flagship_metric": "min_of_3",
-        "flagship_walls": flagship_walls,
+        "docs_per_sec_min3": (round(n_docs / flagship_min, 2)
+                              if flagship_min else None),
+        "flagship_metric": "cold_first_wall",
+        "flagship_walls": walls["minhash_dedup"],
         "rows": rows,
         "cpus": int(cpus),
     }
