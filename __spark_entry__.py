@@ -67,6 +67,8 @@ EMB_DIM = 64           # embeddings.embedding is array<float>[64]
 LSH_PLANES = 4         # sparse-SRP bits per table
 LSH_TABLES = 8
 LSH_SEED = 7
+IVF_NLIST = 8          # fixed coarse quantizer for the ivf_topk oracle
+IVF_NPROBE = 2
 
 _CFG = PipelineConfig(min_len=20)  # driver docs are short (48..553 chars)
 
@@ -833,14 +835,33 @@ def _q_distinct_token_counts(spark, sf_dir):
                     F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"))
 
 
-def _q_hll_cardinality(spark, sf_dir):
-    """approx_count_distinct (HLL) of tokens per doc — rows-only (sketch
-    internals differ across engines)."""
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(
-        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias("tok"))
-    return toks.groupBy("doc_id").agg(
-        F.approx_count_distinct("tok").alias("n_approx"))
+def _ivf_fixed_centroids():
+    """The oracle's fixed coarse quantizer: IVF_NLIST seed-derived unit
+    vectors, baked verbatim into BOTH the Spark call and the DuckDB SQL
+    (as a literal table) — data-independent, so the oracle holds at every
+    scale factor.  Centroid LEARNING (driver k-means++) stays outside the
+    oracle's reach and is pytest-gated in tests/test_ann.py instead."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((IVF_NLIST, EMB_DIM))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k (the second standard ANN scale path next
+    to SRP-LSH; the k-NN acceleration surface of the reference's DBSCAN,
+    src/dbscan.cpp:221-365): every vector is coarse-quantized to its
+    nearest centroid list in one narrow mapInPandas pass, each query
+    probes its IVF_NPROBE nearest lists via a plain equi-join on list_id,
+    and only those candidates get exact cosine + per-query ranking."""
+    from rabbittclust_spark.operators.ann import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    out = ivf_topk(e, q, k=ANN_K, nprobe=IVF_NPROBE,
+                   centroids=_ivf_fixed_centroids())
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -909,7 +930,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_refined": _q_lpa_refined,
         "substring_dedup": _q_substring_dedup,
         "distinct_token_counts": _q_distinct_token_counts,
-        "hll_cardinality": _q_hll_cardinality,
         # posting-list join + distances (§2.4-2.5, §2.9)
         "token_pair_mash": _q_token_pair_mash,
         "ani_histogram": _q_ani_histogram,
@@ -928,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         # similarity search
         "ann_cosine_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
     }
@@ -992,6 +1013,62 @@ dists AS (
   FROM scored
 )
 """
+
+
+def _sql_ivf_topk() -> str:
+    """DuckDB twin of operators/ann.ivf_topk at the FIXED coarse quantizer
+    (_ivf_fixed_centroids baked in as a literal table): the same
+    assignment (argmax inner product, ties to the lowest list_id — the
+    per-vector norm is a positive constant, so inner-product ranking ==
+    normalized-dot ranking), the same nprobe probe, the same exact-cosine
+    verify + per-query ranking — oracle-checks the whole IVF plan."""
+    cents = _ivf_fixed_centroids()
+    rows = ",\n                   ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents))
+    return f"""
+        WITH cents(list_id, cv) AS (VALUES {rows}),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT c.vec_id, cents.list_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                        ORDER BY list_inner_product(c.v, cents.cv) DESC,
+                                 cents.list_id ASC) AS rn
+            FROM c, cents
+          ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id, v FROM c WHERE vec_id % {ANN_QUERY_MOD} = 0),
+        probe AS (
+          SELECT vec_id AS query_id, list_id FROM (
+            SELECT q.vec_id, cents.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_inner_product(q.v, cents.cv) DESC,
+                                 cents.list_id ASC) AS rn
+            FROM q, cents
+          ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+          SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          FROM probe p JOIN assign a USING (list_id)
+          WHERE a.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(qc.v, nc.v) AS cos
+          FROM cand JOIN c qc ON qc.vec_id = cand.query_id
+                    JOIN c nc ON nc.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {ANN_K}
+    """
 
 
 def _sql_embedding_neardup_lsh() -> str:
@@ -1815,10 +1892,14 @@ def oracle_sql() -> dict[str, str]:
                    END, 6) AS greedy_d
             FROM dists
         """,
+        "ivf_topk": _sql_ivf_topk(),
         # minhash_dedup / minhash_dedup_banded / simhash_dedup /
-        # fracminhash_containment / hll_cardinality / multimodal_features:
+        # fracminhash_containment / multimodal_features:
         # custom-hash sketches and stub codecs are not SQL-expressible;
         # covered by the numpy parity oracles in tests/ instead.  Their
         # graph/postprocess consumers ARE oracle-checked above via the
-        # token-edge twins.
+        # token-edge twins.  (hll_cardinality's driver slot was retired in
+        # r5 for the oracle-checked ivf_topk — the HLL op itself is one
+        # built-in aggregate, and its EXACT twin distinct_token_counts
+        # stays oracle-green above.)
     }

@@ -437,7 +437,8 @@ def _kmeans_centroids(sample: np.ndarray, nlist: int, seed: int = 7,
 
 def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
               sample_cap: int = 20_000, id_col: str = "vec_id",
-              vec_col: str = "embedding"
+              vec_col: str = "embedding",
+              centroids: np.ndarray | None = None
               ) -> tuple[DataFrame, np.ndarray]:
     """IVF (inverted-file) index: (assignments(vec_id, list_id), centroids).
 
@@ -447,24 +448,40 @@ def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
     narrow mapInPandas pass — no shuffle; the posting lists ARE the
     (vec_id, list_id) table, ready for an equi-join probe.  ``nlist=None``
     sizes the list count to ~sqrt(N) (the usual IVF-flat rule), the same
-    corpus-adaptive sizing philosophy as auto_planes."""
+    corpus-adaptive sizing philosophy as auto_planes.
+
+    ``centroids`` supplies a FIXED coarse quantizer and skips the learning
+    step entirely (no count, no sample) — the driver oracle uses this to
+    make the whole assignment+probe pipeline SQL-expressible with the
+    centroids baked in as a literal table; it is also the natural API for
+    re-using a quantizer across incremental batches."""
     e = _prep(corpus, id_col, vec_col)
-    n = e.count()
-    if n == 0:
-        empty = e.sparkSession.createDataFrame([], "vec_id long, list_id int")
-        return empty, np.zeros((0, 0))
-    if nlist is None:
-        import math
-        nlist = max(1, min(4096, int(math.isqrt(n))))
-    frac = min(1.0, sample_cap / max(n, 1))
-    pdf = (e.sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
-           if frac < 1.0 else e.toPandas())
-    sample = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-    if len(sample) == 0:
-        empty = e.sparkSession.createDataFrame([], "vec_id long, list_id int")
-        return empty, np.zeros((0, 0))
-    nlist = min(nlist, len(sample))
-    cents = _kmeans_centroids(sample, nlist, seed=seed)
+    if centroids is not None:
+        cents = np.ascontiguousarray(centroids, dtype=np.float64)
+        if cents.size == 0:
+            empty = e.sparkSession.createDataFrame(
+                [], "vec_id long, list_id int")
+            return empty, np.zeros((0, 0))
+    else:
+        n = e.count()
+        if n == 0:
+            empty = e.sparkSession.createDataFrame(
+                [], "vec_id long, list_id int")
+            return empty, np.zeros((0, 0))
+        if nlist is None:
+            import math
+            nlist = max(1, min(4096, int(math.isqrt(n))))
+        frac = min(1.0, sample_cap / max(n, 1))
+        pdf = (e.sample(fraction=frac, seed=seed).limit(sample_cap).toPandas()
+               if frac < 1.0 else e.toPandas())
+        sample = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf["vec"]])
+        if len(sample) == 0:
+            empty = e.sparkSession.createDataFrame(
+                [], "vec_id long, list_id int")
+            return empty, np.zeros((0, 0))
+        nlist = min(nlist, len(sample))
+        cents = _kmeans_centroids(sample, nlist, seed=seed)
 
     def assign(batches):
         for b in batches:
@@ -487,7 +504,8 @@ def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              nlist: int | None = None, nprobe: int = 4, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             round_dp: int | None = 6) -> DataFrame:
+             round_dp: int | None = 6,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """Approximate cosine top-k via IVF-flat probe: queries visit their
     ``nprobe`` nearest centroid lists; only vectors in those lists are
     scored exactly, then a per-query ranking window — candidates per query
@@ -501,7 +519,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the driver except as a closure broadcast."""
     c = _prep(corpus, id_col, vec_col)
     lists, cents = ivf_index(corpus, nlist=nlist, seed=seed,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             centroids=centroids)
     if cents.size == 0:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int")
@@ -516,7 +535,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                for v in b["vec"]])
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = (vecs / np.maximum(norms, 1e-12)) @ cents.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            # stable sort: probe-list ties (equidistant centroids) resolve
+            # to the lowest list_id, matching the SQL oracle's ORDER BY
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame({
                 "query_id": np.repeat(b["vec_id"].to_numpy(), nprobe),
                 "list_id": top.reshape(-1).astype(np.int32),

@@ -399,3 +399,21 @@ def test_neardup_pairs_lsh_delegates_hardened_path(spark):
         df, tau=0.99, dim=24, num_planes=8, num_tables=8).collect())
     assert via_wrapper == direct
     assert (0, 60) in {(s, d) for s, d, _ in via_wrapper}
+
+
+def test_ivf_index_fixed_centroids(spark):
+    """ivf_index(centroids=...) uses the supplied quantizer verbatim (no
+    learning, no sampling): vectors land on their nearest given centroid —
+    the path the oracle-checked ivf_topk driver query exercises."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.ann import ivf_index
+
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    vecs = [(0, [0.9, 0.1, 0.0]), (1, [0.2, 0.8, 0.1]),
+            (2, [1.0, 0.0, 0.1]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    lists, out_cents = ivf_index(df, centroids=cents)
+    got = {r.vec_id: r.list_id for r in lists.collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+    assert np.array_equal(out_cents, cents)

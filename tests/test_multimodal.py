@@ -78,3 +78,36 @@ def test_decode_image_real_or_stub():
     else:
         with pytest.raises(NotImplementedError, match="PIL not importable"):
             mm.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_audio_wav_roundtrip():
+    """decode_audio is REAL for WAV via the stdlib wave module: a generated
+    16-bit stereo PCM file round-trips to float32 samples bit-exactly
+    (within int16 quantization), and non-WAV payloads keep the honest
+    NotImplementedError (mirrors the decode_image real-or-stub pattern)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    sr, frames = 8000, 800
+    t = np.arange(frames) / sr
+    left = np.sin(2 * np.pi * 440 * t)
+    right = np.sin(2 * np.pi * 220 * t)
+    pcm = np.round(np.stack([left, right], axis=1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    out = mm.decode_audio(buf.getvalue())
+    assert out.shape == (frames, 2) and out.dtype == np.float32
+    assert np.allclose(out, pcm.astype(np.float32) / 32768.0)
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04 not a wav")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"")
