@@ -353,7 +353,13 @@ def _q_token_containment(spark, sf_dir):
 
 def _q_fracminhash_containment(spark, sf_dir):
     """FracMinHash sketch + containment distance (reference --fast + -c path,
-    src/SketchInfo.cpp:274-433, src/MST.cpp:529-540)."""
+    src/SketchInfo.cpp:274-433, src/MST.cpp:529-540).
+
+    r5: the driver SLOT was retired (rows-only; the contract stays at 50
+    with the oracle-checked community_multilevel in) — the operator and
+    this harness stay, exercised by tests/; its sketch family remains
+    oracle-green in the contract via token_fracminhash, and the
+    containment distance via token_containment."""
     import dataclasses
 
     from rabbittclust_spark.operators.pairs import build_edges
@@ -675,6 +681,19 @@ def _q_token_winnow(spark, sf_dir):
                     F.round(c, 6).alias("containment")))
 
 
+def _assignment_fp(df):
+    """(count, order-free hash) fingerprint of a (doc_id, community)
+    assignment — the cheap equality check for the unroll-depth guards
+    (ADVICE r4: collecting both full assignment sets pulled every row
+    through the driver).  bit_xor cannot overflow under ANSI mode (a plain
+    SUM of xxhash64 values throws ARITHMETIC_OVERFLOW); rows are unique
+    per doc_id so xor-cancellation needs a genuine diff."""
+    r = df.agg(F.count("*").alias("n"),
+               F.expr("bit_xor(xxhash64(doc_id, community))").alias("h")
+               ).collect()[0]
+    return (r["n"], r["h"])
+
+
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
@@ -704,17 +723,7 @@ def _q_label_propagation(spark, sf_dir):
     # driver and roughly tripled the cost bench.py records for this query.
     chk = label_propagation(edges, resolution=1.0, max_iter=_LPA_UNROLL,
                             monotone_labels=True, _materialized=True)
-
-    def _fp(df):
-        # bit_xor: order-free and cannot overflow under ANSI mode (a plain
-        # SUM of xxhash64 values throws ARITHMETIC_OVERFLOW); rows are
-        # unique per doc_id so xor-cancellation needs a genuine diff
-        r = df.agg(F.count("*").alias("n"),
-                   F.expr("bit_xor(xxhash64(doc_id, community))").alias("h")
-                   ).collect()[0]
-        return (r["n"], r["h"])
-
-    if _fp(comm) != _fp(chk):
+    if _assignment_fp(comm) != _assignment_fp(chk):
         raise RuntimeError(
             f"label_propagation fixed point exceeds _LPA_UNROLL="
             f"{_LPA_UNROLL}; raise the oracle unroll depth to match")
@@ -774,6 +783,38 @@ def _q_community_coarsen(spark, sf_dir):
     edges = _token_edges(spark, sf_dir)
     labels = _q_lpa_round1(spark, sf_dir)
     return coarsen_graph(edges, labels, round_dp=6).select("cu", "cv", "w")
+
+
+def _q_community_multilevel(spark, sf_dir):
+    """TWO-level monotone multi-level Louvain end-to-end (Blondel et al.
+    2008 phases 1+2+1; reference community_multilevel backend,
+    src/leiden.cpp:295-471): monotone LPA on the token graph, coarsen the
+    communities into super-nodes, monotone LPA on the coarse graph
+    (self-loops into degrees and 2m), compose the mappings — the exact
+    per-level sequence community_multilevel repeats, oracle-checked as ONE
+    row by chaining two unrolled-CTE LPAs (the level-2 unroll runs over
+    the coarse graph's own base CTEs via _sql_lpa_unrolled(suffix="c")).
+    Modularity stopping is disabled (min_gain=-inf) so both engines run a
+    fixed two levels; the stopping rule itself is twin-equivalence-tested
+    in tests/test_leiden.py.  Same named unroll-depth guard as
+    _q_label_propagation, covering BOTH levels (max_iter binds per level)."""
+    from rabbittclust_spark.operators.leiden import community_multilevel
+    from rabbittclust_spark.sources.tables import materialize
+
+    edges = materialize(_token_edges(spark, sf_dir), "ml_q_edges")
+    kw = dict(resolution=1.0, max_levels=2, monotone_base=True,
+              min_gain=float("-inf"))
+    comm = community_multilevel(edges, **kw)
+    chk = community_multilevel(edges, max_iter=_LPA_UNROLL, **kw)
+    if _assignment_fp(comm) != _assignment_fp(chk):
+        raise RuntimeError(
+            f"community_multilevel fixed point exceeds _LPA_UNROLL="
+            f"{_LPA_UNROLL} at some level; raise the oracle unroll depth")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    return (docs.join(comm, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("community", F.col("doc_id")).alias("community")))
 
 
 def _q_repdb_stats(spark, sf_dir):
@@ -900,7 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "minhash_dedup_banded": _q_minhash_dedup_banded,
         "simhash_dedup": _q_simhash_dedup,
-        "fracminhash_containment": _q_fracminhash_containment,
         "token_simhash": _q_token_simhash,
         "token_minhash_mash": _q_token_minhash_mash,
         "token_fracminhash": _q_token_fracminhash,
@@ -936,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_histogram": _q_density_histogram,
         # communities: one Louvain coarsening step (§2.8, multilevel)
         "community_coarsen": _q_community_coarsen,
+        "community_multilevel": _q_community_multilevel,
         # windows / sorts / top-k (§2.6)
         "topk_orders": _q_topk_orders,
         "best_supplier": _q_best_supplier,
@@ -1228,7 +1269,8 @@ lpa_labels AS (
 )"""
 
 
-def _sql_lpa_unrolled(rounds: int, resolution: float = 1.0) -> str:
+def _sql_lpa_unrolled(rounds: int, resolution: float = 1.0,
+                      suffix: str = "") -> str:
     """CTE chain applying the synchronous modularity-gain LPA update
     ``rounds`` times (the lpa_round1 SQL iterated with label-dependent K_L
     and K_other terms).  The operator stops at its fixed point (measured:
@@ -1243,37 +1285,43 @@ def _sql_lpa_unrolled(rounds: int, resolution: float = 1.0) -> str:
     each reference, so a 12-round chain re-executes the whole upstream
     pipeline per reference (observed: fd exhaustion re-opening the parquet
     source); materialization makes each round run once, like the Spark
-    side's stage barriers."""
-    ctes = ["""
-lab0 AS MATERIALIZED (SELECT u AS doc_id, u AS community FROM ldeg)"""]
+    side's stage barriers.
+
+    ``suffix`` renames every CTE (base lsym/ldeg/lm and per-round
+    lab/K/cand/scored) so a SECOND unroll can run in the same statement —
+    the community_multilevel oracle chains one unroll per level over the
+    coarsened graph's own base CTEs."""
+    s = suffix
+    ctes = [f"""
+lab{s}0 AS MATERIALIZED (SELECT u AS doc_id, u AS community FROM ldeg{s})"""]
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(f"""
-K{r} AS MATERIALIZED (
+K{s}{r} AS MATERIALIZED (
   SELECT lb.community AS label, sum(d.k) AS K
-  FROM lab{p} lb JOIN ldeg d ON lb.doc_id = d.u GROUP BY 1),
-cand{r} AS MATERIALIZED (
+  FROM lab{s}{p} lb JOIN ldeg{s} d ON lb.doc_id = d.u GROUP BY 1),
+cand{s}{r} AS MATERIALIZED (
   SELECT u, nlabel, max(w_ul) AS w_ul FROM (
     SELECT s.u AS u, lb.community AS nlabel, sum(s.w) AS w_ul
-    FROM lsym s JOIN lab{p} lb ON s.v = lb.doc_id GROUP BY 1, 2
+    FROM lsym{s} s JOIN lab{s}{p} lb ON s.v = lb.doc_id GROUP BY 1, 2
     UNION ALL
-    SELECT doc_id, community, 0.0 FROM lab{p}
+    SELECT doc_id, community, 0.0 FROM lab{s}{p}
   ) GROUP BY u, nlabel),
-scored{r} AS MATERIALIZED (
+scored{s}{r} AS MATERIALIZED (
   SELECT c.u, c.nlabel,
          c.w_ul - {resolution} * d.k *
            (K.K - CASE WHEN c.nlabel = lp.community THEN d.k ELSE 0.0 END)
-           / (SELECT m2 FROM lm) AS score
-  FROM cand{r} c
-  JOIN ldeg d ON c.u = d.u
-  JOIN lab{p} lp ON c.u = lp.doc_id
-  JOIN K{r} K ON K.label = c.nlabel
+           / (SELECT m2 FROM lm{s}) AS score
+  FROM cand{s}{r} c
+  JOIN ldeg{s} d ON c.u = d.u
+  JOIN lab{s}{p} lp ON c.u = lp.doc_id
+  JOIN K{s}{r} K ON K.label = c.nlabel
   WHERE c.nlabel <= lp.community),
-lab{r} AS MATERIALIZED (
+lab{s}{r} AS MATERIALIZED (
   SELECT u AS doc_id, nlabel AS community FROM (
     SELECT u, nlabel, row_number() OVER (PARTITION BY u
            ORDER BY round(-score, 9) ASC, nlabel ASC) AS rk
-    FROM scored{r}) WHERE rk = 1)""")
+    FROM scored{s}{r}) WHERE rk = 1)""")
     return ",".join(ctes)
 
 
@@ -1694,6 +1742,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN lpa_labels a ON e.src = a.doc_id
             JOIN lpa_labels b ON e.dst = b.doc_id
             GROUP BY 1, 2
+        """,
+        # TWO chained unrolls: level-1 monotone LPA to its fixed point,
+        # coarsen (self-loops kept), level-2 base CTEs fold loop weight
+        # 2w into degrees and 2m (loops are never move candidates — they
+        # are absent from lsymc), second unroll, left-join composition
+        "community_multilevel": f"""
+            WITH {_TOKEN_EDGES_CTE},
+            {_SQL_LPA_BASE},
+            {_sql_lpa_unrolled(_LPA_UNROLL)},
+            mlcoarse AS MATERIALIZED (
+              SELECT least(a.community, b.community) AS cu,
+                     greatest(a.community, b.community) AS cv,
+                     sum(greatest(0.0, 1.0 - e.dist)) AS w
+              FROM tokedges e
+              JOIN lab{_LPA_UNROLL} a ON e.src = a.doc_id
+              JOIN lab{_LPA_UNROLL} b ON e.dst = b.doc_id
+              GROUP BY 1, 2
+            ),
+            lsymc AS MATERIALIZED (
+              SELECT cu AS u, cv AS v, w FROM mlcoarse WHERE cu != cv
+              UNION ALL
+              SELECT cv, cu, w FROM mlcoarse WHERE cu != cv
+            ),
+            ldegc AS MATERIALIZED (
+              SELECT u, sum(k) AS k FROM (
+                SELECT u, sum(w) AS k FROM lsymc GROUP BY u
+                UNION ALL
+                SELECT cu, 2.0 * sum(w) FROM mlcoarse WHERE cu = cv GROUP BY cu
+              ) GROUP BY u
+            ),
+            lmc AS MATERIALIZED (SELECT sum(k) AS m2 FROM ldegc),
+            {_sql_lpa_unrolled(_LPA_UNROLL, suffix="c")}
+            SELECT d.doc_id,
+                   coalesce(l2.community, l1.community, d.doc_id) AS community
+            FROM documents d
+            LEFT JOIN lab{_LPA_UNROLL} l1 ON d.doc_id = l1.doc_id
+            LEFT JOIN labc{_LPA_UNROLL} l2 ON l1.community = l2.doc_id
         """,
         "lpa_refined": f"""
             WITH RECURSIVE {_TOKEN_EDGES_CTE},

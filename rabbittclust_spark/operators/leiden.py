@@ -499,7 +499,8 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
                          driver_cutoff: int = 2_000_000,
                          min_gain: float = 1e-9,
                          weight_col: str | None = None,
-                         normalize_weights: bool = False) -> DataFrame:
+                         normalize_weights: bool = False,
+                         monotone_base: bool = False) -> DataFrame:
     """Multi-level Louvain (reference community_multilevel,
     src/leiden.cpp:295-471; Blondel et al. 2008): LPA to a local optimum,
     collapse communities into super-nodes (coarsen_graph), re-run LPA on
@@ -535,7 +536,8 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
         nodes, comm = _multilevel_core(
             pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64),
             pdf["w"].to_numpy(np.float64), resolution=resolution,
-            max_iter=max_iter, max_levels=max_levels, min_gain=min_gain)
+            max_iter=max_iter, max_levels=max_levels, min_gain=min_gain,
+            monotone_base=monotone_base)
         return _labels_df(edges.sparkSession, nodes, comm)
     mapping: DataFrame | None = None
     prev_q: float | None = None
@@ -548,8 +550,13 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
                                    driver_cutoff=driver_cutoff,
                                    weight_col=cur_weight,
                                    # coarse levels: break the two-super-node
-                                   # swap symmetry (see label_propagation)
-                                   monotone_labels=level > 0,
+                                   # swap symmetry (see label_propagation);
+                                   # monotone_base extends the rule to the
+                                   # finest level — the mode the bounded
+                                   # unrolled-CTE driver oracle needs at
+                                   # EVERY level (convergence is guaranteed,
+                                   # no oscillation stopping state)
+                                   monotone_labels=level > 0 or monotone_base,
                                    # every level input here is already a
                                    # parquet barrier (ml_edges / ml_coarse)
                                    _materialized=True)
@@ -596,7 +603,7 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
 
 def _multilevel_core(eu, ev, ww, resolution: float = 1.0,
                      max_iter: int = 20, max_levels: int = 10,
-                     min_gain: float = 1e-9):
+                     min_gain: float = 1e-9, monotone_base: bool = False):
     """numpy core of the multilevel twin: weighted (u, v, w) arrays in,
     (nodes, communities) arrays out.  Identical per-level sequence to the
     distributed path (LPA with monotone labels on coarse levels, coarsen,
@@ -610,7 +617,8 @@ def _multilevel_core(eu, ev, ww, resolution: float = 1.0,
     prev_q: float | None = None
     for level in range(max_levels):
         nodes, comm = _lpa_core(eu, ev, ww, resolution=resolution,
-                                max_iter=max_iter, monotone=level > 0)
+                                max_iter=max_iter,
+                                monotone=level > 0 or monotone_base)
         n = len(nodes)
         if n == 0:
             break  # degenerate level — keep the previous mapping
@@ -662,7 +670,8 @@ def community_multilevel_reference(edge_list, resolution: float = 1.0,
                                    max_iter: int = 20, max_levels: int = 10,
                                    min_gain: float = 1e-9,
                                    weighted: bool = False,
-                                   normalize: bool = False):
+                                   normalize: bool = False,
+                                   monotone_base: bool = False):
     """Single-process twin of :func:`community_multilevel` — the identical
     per-level sequence (LPA with monotone labels on coarse levels, coarsen,
     modularity stopping, mapping composition) on collected edges; the
@@ -679,5 +688,6 @@ def community_multilevel_reference(edge_list, resolution: float = 1.0,
         ww = _minmax_normalize_arrays(ww)
     nodes, comm = _multilevel_core(eu, ev, ww, resolution=resolution,
                                    max_iter=max_iter, max_levels=max_levels,
-                                   min_gain=min_gain)
+                                   min_gain=min_gain,
+                                   monotone_base=monotone_base)
     return {int(u): int(c) for u, c in zip(nodes, comm)}

@@ -390,3 +390,25 @@ def test_normalize_weights_twin(spark):
     assert np.array_equal(_minmax_normalize_arrays(wide), wide)
     flat = np.array([0.5, 0.5])
     assert np.array_equal(_minmax_normalize_arrays(flat), flat)
+
+
+def test_multilevel_monotone_base_twin(spark):
+    """monotone_base=True (the two-level oracle's mode: monotone labels at
+    EVERY level, modularity stopping disabled): distributed path == driver
+    fast path == numpy twin, and labels are monotone non-increasing."""
+    from rabbittclust_spark.operators.leiden import (
+        community_multilevel,
+        community_multilevel_reference,
+    )
+
+    edges = _planted_graph(seed=31)
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    kw = dict(resolution=1.0, max_levels=2, monotone_base=True,
+              min_gain=float("-inf"))
+    dist = {r.doc_id: r.community for r in
+            community_multilevel(df, driver_cutoff=0, **kw).collect()}
+    drv = {r.doc_id: r.community for r in
+           community_multilevel(df, **kw).collect()}
+    ref = community_multilevel_reference(edges, **kw)
+    assert dist == drv == ref
+    assert all(c <= n for n, c in ref.items())

@@ -253,3 +253,15 @@ def test_fused_banded_sketch_parity(spark):
             assert (row["len"], row["n"], row["sig"]) == (
                 sep_sk[d]["len"], sep_sk[d]["n"], sep_sk[d]["sig"])
             assert row["band_keys"] == sep_bd[d]["band_keys"]
+
+
+def test_fracminhash_containment_harness(spark):
+    """The retired driver slot's harness still runs (FracMinHash sketch +
+    containment edges over the real sf0.001 corpus): kept exercised here
+    so the operator composition never rots out of the surface."""
+    import __spark_entry__ as entrymod
+
+    out = entrymod._q_fracminhash_containment(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"src", "dst"} <= set(out.columns)
