@@ -168,12 +168,24 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
                       weight_col: str | None = None,
                       monotone_labels: bool = False,
                       normalize_weights: bool = False,
+                      quality: str = "modularity",
                       _materialized: bool = False) -> DataFrame:
     """edges -> (doc_id, community) for every node appearing in edges.
 
     ``normalize_weights=True`` applies the reference clust-leiden min-max
     weight rescaling before propagation (see _minmax_normalize for the
     narrow-range gate and the CPM-vs-modularity note).
+
+    ``quality`` selects the move-gain function:
+      - "modularity" (default): Blondel eq. 2 gain,
+        w(u,L) - res * k_u * K_L\\u / 2m — the igraph community_multilevel
+        objective, scale-invariant in the weights.
+      - "cpm": the Constant Potts Model igraph community_leiden optimizes
+        (Traag et al. 2011/2019; the reference's clust-leiden backend,
+        src/leiden.cpp:372-384): per-candidate gain w(u,L) - res * |L\\u|
+        — community SIZE replaces weighted degree, making resolution an
+        absolute density threshold and weight SCALING meaningful (pair
+        with normalize_weights=True for reference parity).
 
     Community ids are label values (node ids); singletons are absent —
     attach them exactly like connected-components consumers do.  ``knn``
@@ -211,6 +223,8 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
     # plan per action (measured 2x the token-edge join without this).
     # ``_materialized=True`` (community_multilevel, whose level inputs are
     # already parquet barriers) skips the redundant second write.
+    if quality not in ("modularity", "cpm"):
+        raise ValueError(f"unknown quality function: {quality!r}")
     wexpr = _weight_expr(dist_col, weight_col)
     norm = edges.select(F.col(src).cast("long").alias("u"),
                         F.col(dst).cast("long").alias("v"),
@@ -228,7 +242,8 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             nodes, comm = _lpa_core(
                 pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64),
                 pdf["w"].to_numpy(np.float64), resolution=resolution,
-                max_iter=max_iter, monotone=monotone_labels)
+                max_iter=max_iter, monotone=monotone_labels,
+                quality=quality)
             return _labels_df(edges.sparkSession, nodes, comm)
     sym, loops = _prep_graph(norm, src, dst, dist_col, weight_col)
     sym = materialize(sym, "lpa_sym")
@@ -267,18 +282,34 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
             # labels <= the current one; the current label always remains
             # a candidate, so staying put is never blocked
             scored = scored.where(F.col("nlabel") <= F.col("label"))
-        scored = (
-            scored
-            .join(K.withColumnRenamed("label", "nlabel"), "nlabel")
-            .withColumn(
-                "K_other",
-                F.col("K_L") - F.when(F.col("nlabel") == F.col("label"),
-                                      F.col("k")).otherwise(F.lit(0.0)))
-            .withColumn(
-                "score",
-                F.col("w_ul") - F.lit(resolution) * F.col("k") * F.col("K_other")
-                / F.lit(m2))
-        )
+        if quality == "cpm":
+            # CPM gain: community SIZE |L\u| replaces weighted degree K\u
+            N = labels.groupBy("label").agg(
+                F.count("*").cast("double").alias("N_L"))
+            scored = (
+                scored
+                .join(N.withColumnRenamed("label", "nlabel"), "nlabel")
+                .withColumn(
+                    "N_other",
+                    F.col("N_L") - F.when(F.col("nlabel") == F.col("label"),
+                                          F.lit(1.0)).otherwise(F.lit(0.0)))
+                .withColumn(
+                    "score",
+                    F.col("w_ul") - F.lit(resolution) * F.col("N_other"))
+            )
+        else:
+            scored = (
+                scored
+                .join(K.withColumnRenamed("label", "nlabel"), "nlabel")
+                .withColumn(
+                    "K_other",
+                    F.col("K_L") - F.when(F.col("nlabel") == F.col("label"),
+                                          F.col("k")).otherwise(F.lit(0.0)))
+                .withColumn(
+                    "score",
+                    F.col("w_ul") - F.lit(resolution) * F.col("k")
+                    * F.col("K_other") / F.lit(m2))
+            )
         best = scored.groupBy("u").agg(
             F.min(F.struct(F.round(-F.col("score"), 9).alias("neg"),
                            F.col("nlabel").alias("l"))).alias("b"))
@@ -334,7 +365,7 @@ def _edge_arrays(edge_list):
 
 
 def _lpa_core(eu, ev, wt, resolution: float = 1.0, max_iter: int = 20,
-              monotone: bool = False):
+              monotone: bool = False, quality: str = "modularity"):
     """numpy core of the LPA twin: weighted (u, v, w) arrays in,
     (nodes, communities) arrays out (empty arrays where the dict twin
     returned {}).  Shared by label_propagation_reference (dict wrapper for
@@ -391,8 +422,14 @@ def _lpa_core(eu, ev, wt, resolution: float = 1.0, max_iter: int = 20,
             # coarse-level symmetry breaker — same rule as the Spark side
             keep = cand_l <= labels[cand_u]
             cand_u, cand_l, w_ul = cand_u[keep], cand_l[keep], w_ul[keep]
-        K_other = K[cand_l] - np.where(labels[cand_u] == cand_l, k[cand_u], 0.0)
-        score = w_ul - resolution * k[cand_u] * K_other / m2
+        if quality == "cpm":
+            sizes = np.bincount(labels, minlength=n).astype(np.float64)
+            N_other = sizes[cand_l] - (labels[cand_u] == cand_l)
+            score = w_ul - resolution * N_other
+        else:
+            K_other = K[cand_l] - np.where(labels[cand_u] == cand_l,
+                                           k[cand_u], 0.0)
+            score = w_ul - resolution * k[cand_u] * K_other / m2
         neg = np.round(-score, 9)
         order = np.lexsort((cand_l, neg, cand_u))  # by u, then (neg, l)
         first_u, first_pos = np.unique(cand_u[order], return_index=True)
@@ -409,7 +446,8 @@ def _lpa_core(eu, ev, wt, resolution: float = 1.0, max_iter: int = 20,
 def label_propagation_reference(edge_list, resolution: float = 1.0,
                                 max_iter: int = 20, weighted: bool = False,
                                 monotone: bool = False,
-                                normalize: bool = False):
+                                normalize: bool = False,
+                                quality: str = "modularity"):
     """Single-process twin of :func:`label_propagation` (same update rule,
     same tie-breaks) for equivalence tests AND the driver fast-path.
     edge_list: [(u, v, dist), ...] — or [(u, v, w), ...] with
@@ -433,7 +471,8 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
     if normalize:
         wt = _minmax_normalize_arrays(wt)
     nodes, comm = _lpa_core(eu, ev, wt, resolution=resolution,
-                            max_iter=max_iter, monotone=monotone)
+                            max_iter=max_iter, monotone=monotone,
+                            quality=quality)
     return {int(u): int(c) for u, c in zip(nodes, comm)}
 
 

@@ -412,3 +412,45 @@ def test_multilevel_monotone_base_twin(spark):
     ref = community_multilevel_reference(edges, **kw)
     assert dist == drv == ref
     assert all(c <= n for n, c in ref.items())
+
+
+def test_cpm_quality_twin_and_semantics(spark):
+    """CPM quality (the igraph community_leiden objective the reference's
+    clust-leiden backend uses, src/leiden.cpp:372-384): distributed ==
+    numpy twin on random graphs, and resolution acts as an absolute
+    density threshold — a weak clique that modularity-LPA merges stays
+    split under CPM when gamma exceeds its internal edge weight."""
+    import random as _random
+
+    rng = _random.Random(7)
+    edges, seen = [], set()
+    for _ in range(100):
+        u, v = rng.randrange(25), rng.randrange(25)
+        key = (min(u, v), max(u, v))
+        if u == v or key in seen:
+            continue
+        seen.add(key)
+        edges.append((*key, round(rng.uniform(0.0, 1.0), 3)))
+    df = spark.createDataFrame(edges, "src long, dst long, dist double")
+    got = sorted((r.doc_id, r.community) for r in label_propagation(
+        df, driver_cutoff=0, quality="cpm").collect())
+    ref = sorted(label_propagation_reference(
+        edges, quality="cpm").items())
+    assert got == ref
+    drv = sorted((r.doc_id, r.community) for r in label_propagation(
+        df, quality="cpm").collect())
+    assert drv == ref
+
+    # density-threshold semantics: a triangle of weight-0.3 edges
+    weak = [(0, 1, 0.7), (1, 2, 0.7), (0, 2, 0.7)]  # dist 0.7 -> w 0.3
+    wdf = spark.createDataFrame(weak, "src long, dst long, dist double")
+    merged = {r.community for r in label_propagation(
+        wdf, quality="cpm", resolution=0.1).collect()}
+    split = {r.doc_id: r.community for r in label_propagation(
+        wdf, quality="cpm", resolution=0.9).collect()}
+    assert len(merged) == 1                      # gamma < w: merge
+    assert all(d == c for d, c in split.items())  # gamma > w: stay singleton
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        label_propagation(wdf, quality="nope")
