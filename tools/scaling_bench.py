@@ -44,6 +44,39 @@ sys.path.insert(0, "/root/repo")
 
 CORPUS_DIR = "/root/repo/.out/bench_corpus"
 
+SHM_DIR = "/dev/shm/rtc_bench"
+
+
+def use_shm_tmp(min_free_gb: int = 30) -> bool:
+    """Default r5: route temp-parquet stage barriers (TMPDIR — materialize
+    uses tempfile) AND Spark shuffle/spill (SPARK_LOCAL_DIRS) to /dev/shm
+    when it has headroom.  Barrier and shuffle I/O contend on the ONE
+    shared disk — a resource that does not grow with worker count, so it
+    depresses the measured 2->8 ratio (r4 A/B: -6% wall at local[8] from
+    TMPDIR alone).  RAM-backed local dirs are the sandbox twin of a real
+    cluster's per-executor local SSDs.  Must run before the first Spark
+    session (the JVM reads SPARK_LOCAL_DIRS at launch).  NOT used by the
+    1M-doc stress (tools/scale_stress.py), whose >60 GB shuffle would
+    exhaust RAM-backed tmpfs."""
+    import tempfile
+
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < min_free_gb * (1 << 30):
+            return False
+        os.makedirs(SHM_DIR, exist_ok=True)
+    except OSError:
+        return False
+    os.environ["TMPDIR"] = SHM_DIR
+    os.environ["SPARK_LOCAL_DIRS"] = SHM_DIR
+    tempfile.tempdir = None  # drop the cached tmp dir; re-read TMPDIR
+    import atexit
+    import shutil
+
+    # leaked tmpfs bytes are held RAM until reboot — always sweep
+    atexit.register(lambda: shutil.rmtree(SHM_DIR, ignore_errors=True))
+    return True
+
 
 def generate_corpus(clusters: int, members: int, min_tokens: int,
                     max_tokens: int) -> int:
@@ -149,7 +182,14 @@ def main() -> None:
                          "sequential matrix — the right methodology when "
                          "the host's CPU allocation drifts between runs "
                          "(each pair shares one host window)")
+    ap.add_argument("--no-shm", action="store_true",
+                    help="keep stage barriers and shuffle dirs on disk "
+                         "instead of the /dev/shm default")
     args = ap.parse_args()
+
+    if not args.no_shm:
+        shm = use_shm_tmp()
+        print(json.dumps({"shm_tmp": shm}), flush=True)
 
     if args.interleaved:
         if not os.path.exists(CORPUS_DIR):
