@@ -3,9 +3,11 @@
 The Spark-side plumbing (schemas, batching, partition strategy, UDF
 signatures) is real and tested.  Codec status: image decode is REAL when
 PIL imports (any PIL-readable format); audio decode is REAL for WAV via
-the stdlib ``wave`` module (no external dependency); video and compressed
-audio remain honest NotImplementedError stubs — their codecs (ffmpeg /
-decord) are not in this container.  Undecodable payloads raise in strict
+the stdlib ``wave`` module (no external dependency); video frame sampling
+is REAL for uncompressed RIFF AVI (BI_RGB DIB frames) via a stdlib-struct
+RIFF walk + numpy; compressed audio/video remain honest
+NotImplementedError stubs — their codecs (ffmpeg / decord) are not in
+this container.  Undecodable payloads raise in strict
 mode or fall back to a deterministic fake feature derived from the bytes,
 so the distributed machinery is exercised end-to-end either way.
 
@@ -93,9 +95,148 @@ def decode_audio(payload: bytes) -> np.ndarray:
     return x.reshape(-1, nch)
 
 
-def sample_video_frames(payload: bytes, every_ms: int = 1000):  # pragma: no cover
-    """STUB: real implementation yields frame arrays (decord/ffmpeg)."""
-    raise NotImplementedError("video codec not available in this container")
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, (body_start, body_end)) over a RIFF chunk sequence;
+    chunks are word-aligned (odd sizes pad one byte)."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        yield cid, (pos + 8, min(pos + 8 + size, end))
+        pos += 8 + size + (size & 1)
+
+
+def sample_video_frames(payload: bytes, every_ms: int = 1000) -> list[np.ndarray]:
+    """Decode uncompressed RIFF AVI (BI_RGB DIB frames, 24/32-bit) and
+    return frames sampled every ``every_ms`` as HxWx3 uint8 RGB arrays —
+    REAL via a stdlib-struct RIFF walk + numpy (no external codec),
+    mirroring decode_audio's real-when-the-format-allows pattern.
+    Compressed video (h264/vp9/mjpeg AVIs, mp4/webm containers) still needs
+    ffmpeg-class codecs absent from this container and raises the honest
+    NotImplementedError; callers in non-strict mode fall back to the
+    deterministic fake feature either way.  Validation is eager (this
+    returns a list, not a generator) so strict-mode callers fail fast."""
+    import struct
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only RIFF AVI decodes in this container; other containers need "
+            "ffmpeg/decord")
+    data = bytes(payload)
+    width = height = bitcount = None
+    compression = us_per_frame = None
+    scale = rate = 0
+    vids_stream = None
+    stream_idx = -1
+    frame_spans: list[tuple[int, int]] = []
+    for cid, (b0, b1) in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST":
+            continue
+        ltype = data[b0:b0 + 4]
+        if ltype == b"hdrl":
+            for cid2, (c0, c1) in _riff_chunks(data, b0 + 4, b1):
+                if cid2 == b"avih":
+                    us_per_frame, = struct.unpack_from("<I", data, c0)
+                elif cid2 == b"LIST" and data[c0:c0 + 4] == b"strl":
+                    stream_idx += 1
+                    fcc_type = None
+                    for cid3, (d0, _d1) in _riff_chunks(data, c0 + 4, c1):
+                        if cid3 == b"strh":
+                            fcc_type = data[d0:d0 + 4]
+                            if fcc_type == b"vids" and vids_stream is None:
+                                scale, rate = struct.unpack_from(
+                                    "<II", data, d0 + 20)
+                        elif (cid3 == b"strf" and fcc_type == b"vids"
+                              and vids_stream is None):
+                            vids_stream = stream_idx
+                            width, height = struct.unpack_from(
+                                "<ii", data, d0 + 4)
+                            bitcount, = struct.unpack_from("<H", data, d0 + 14)
+                            compression, = struct.unpack_from(
+                                "<I", data, d0 + 16)
+        elif ltype == b"movi" and vids_stream is not None:
+            want = (b"%02ddb" % vids_stream, b"%02ddc" % vids_stream)
+            for cid2, span in _riff_chunks(data, b0 + 4, b1):
+                if cid2 in want:
+                    frame_spans.append(span)
+    if vids_stream is None or not width or not height:
+        raise NotImplementedError("AVI has no decodable video stream header")
+    if compression != 0 or bitcount not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed BI_RGB AVI decodes in this container "
+            f"(biCompression={compression}, biBitCount={bitcount})")
+    nbytes = bitcount // 8
+    h = abs(height)
+    row_bytes = (width * nbytes + 3) & ~3  # DIB rows pad to 4 bytes
+    if rate:
+        frame_ms = 1000.0 * scale / rate
+    elif us_per_frame:
+        frame_ms = us_per_frame / 1000.0
+    else:
+        frame_ms = 40.0
+    frames: list[np.ndarray] = []
+    next_t = 0.0
+    for i, (c0, c1) in enumerate(frame_spans):
+        if c1 - c0 < row_bytes * h:
+            continue  # truncated chunk
+        t = i * frame_ms
+        if t + 1e-9 < next_t:
+            continue
+        next_t = t + every_ms
+        dib = np.frombuffer(data, np.uint8, count=row_bytes * h,
+                            offset=c0).reshape(h, row_bytes)
+        px = dib[:, :width * nbytes].reshape(h, width, nbytes)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+        if height > 0:  # positive biHeight = bottom-up rows
+            rgb = rgb[::-1]
+        frames.append(np.ascontiguousarray(rgb))
+    return frames
+
+
+def _pool_image_feature(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Feature over DECODED pixels: a 4x4 block-mean RGB grid (48 dims) +
+    a 16-bin grayscale histogram (16 dims) = 64 dims, L2-normalized —
+    deterministic, content-sensitive, codec-independent."""
+    h, w, _ = img.shape
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    grid = np.empty((4, 4, 3), np.float64)
+    for i in range(4):
+        for j in range(4):
+            block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            grid[i, j] = block.reshape(-1, 3).mean(axis=0)
+    gray = img.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+    v = np.concatenate([grid.ravel() / 255.0, hist / max(gray.size, 1)])
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _audio_feature(x: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Feature over DECODED samples: per-segment RMS energy envelope over
+    ``dim`` equal time segments of the mono mix, L2-normalized."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    if mono.size == 0:
+        return np.zeros(dim, np.float32)
+    v = np.array([np.sqrt(float((s.astype(np.float64) ** 2).mean()))
+                  if s.size else 0.0 for s in np.array_split(mono, dim)])
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _strict_feature(kind: str, payload: bytes) -> np.ndarray:
+    """Decode with the real codec for ``kind`` and feature-ize the DECODED
+    content (raises on undecodable payloads / missing codecs)."""
+    if kind == "image":
+        return _pool_image_feature(decode_image(payload))
+    if kind == "audio":
+        return _audio_feature(decode_audio(payload))
+    frames = sample_video_frames(payload)
+    if not frames:
+        return np.zeros(FEATURE_DIM, np.float32)
+    mean = np.mean([_pool_image_feature(f) for f in frames], axis=0)
+    n = np.linalg.norm(mean)
+    return (mean / n if n > 0 else mean).astype(np.float32)
 
 
 def extract_features(media: DataFrame, strict: bool = False,
@@ -106,10 +247,12 @@ def extract_features(media: DataFrame, strict: bool = False,
     independent -> narrow map, no shuffle; Arrow batch size is bounded by the
     session's maxRecordsPerBatch and payloads stream batch-by-batch (the
     iterator form never holds a whole partition in memory).
-    strict=True decodes payloads with the real codecs where available
-    (images via PIL when importable) and raises on undecodable payloads or
-    missing codecs; strict=False always falls back to the deterministic
-    byte-histogram feature.
+    strict=True decodes payloads with the real codecs (image via PIL when
+    importable, WAV via stdlib wave, uncompressed AVI via the RIFF walk)
+    and computes the feature from the DECODED content — pixel grid+histogram
+    for images, RMS energy envelope for audio, frame-pooled pixel features
+    for video — raising on undecodable payloads or missing codecs;
+    strict=False always uses the deterministic byte-histogram fallback.
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,13 +260,10 @@ def extract_features(media: DataFrame, strict: bool = False,
             feats = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if strict:
-                    if kind == "image":
-                        decode_image(payload)
-                    elif kind == "audio":
-                        decode_audio(payload)
-                    else:
-                        sample_video_frames(payload)
-                feats.append(_fake_feature(bytes(payload) if payload is not None else b""))
+                    feats.append(_strict_feature(kind, payload))
+                else:
+                    feats.append(_fake_feature(
+                        bytes(payload) if payload is not None else b""))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "kind": pdf["kind"],

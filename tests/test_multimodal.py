@@ -111,3 +111,122 @@ def test_decode_audio_wav_roundtrip():
         mm.decode_audio(b"ID3\x04 not a wav")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"")
+
+
+def _write_avi(frames, rate=25):
+    """Minimal uncompressed-AVI writer (BI_RGB 24-bit, bottom-up DIB rows,
+    4-byte row padding) — the stdlib has no AVI writer, so the round-trip
+    test brings its own, mirroring how the WAV test uses ``wave``."""
+    import struct
+
+    h, w, _ = frames[0].shape
+
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    row = (w * 3 + 3) & ~3
+
+    def dib(fr):
+        buf = np.zeros((h, row), np.uint8)
+        buf[:, :w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        return buf.tobytes()
+
+    avih = struct.pack("<14I", 1_000_000 // rate, 0, 0, 0, len(frames),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, rate, 0,
+                          len(frames), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_video_frames_avi_roundtrip():
+    """sample_video_frames is REAL for uncompressed RIFF AVI: 10 generated
+    25-fps frames (3x2, odd row width so DIB padding is exercised)
+    round-trip pixel-exactly, every_ms sampling keeps the right subset, and
+    non-AVI / compressed payloads keep the honest NotImplementedError."""
+    from rabbittclust_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(2, 3, 3)).astype(np.uint8)
+              for _ in range(10)]
+    payload = _write_avi(frames, rate=25)  # frame period 40 ms
+
+    out = mm.sample_video_frames(payload, every_ms=1)  # keep every frame
+    assert len(out) == 10
+    for got, want in zip(out, frames):
+        assert got.shape == (2, 3, 3) and got.dtype == np.uint8
+        assert (got == want).all()
+
+    # 120 ms sampling at 40 ms/frame -> frames 0, 3, 6, 9
+    sampled = mm.sample_video_frames(payload, every_ms=120)
+    assert len(sampled) == 4
+    for got, want in zip(sampled, (frames[0], frames[3], frames[6],
+                                   frames[9])):
+        assert (got == want).all()
+
+    with pytest.raises(NotImplementedError):  # mp4 container
+        mm.sample_video_frames(b"\x00\x00\x00 ftypisom fake mp4")
+    with pytest.raises(NotImplementedError):  # not even RIFF
+        mm.sample_video_frames(b"")
+    # a compressed AVI (biCompression != 0) must refuse, not mis-decode
+    compressed = bytearray(_write_avi(frames[:1]))
+    i = compressed.index(b"strf")
+    compressed[i + 8 + 16:i + 8 + 20] = b"H264"
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        mm.sample_video_frames(bytes(compressed))
+
+
+def test_strict_features_use_decoded_content(spark):
+    """strict=True features come from the DECODED content, not the raw
+    bytes: audio = RMS envelope of the WAV samples, video = frame-pooled
+    pixel grid of the AVI frames — each checked against a direct numpy
+    computation on the decoded arrays, distributed through mapInPandas."""
+    import io
+    import wave
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    sr, n = 8000, 1600
+    pcm = np.round(np.sin(2 * np.pi * 330 * np.arange(n) / sr)
+                   * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(6, 8, 3)).astype(np.uint8)
+              for _ in range(3)]
+    avi = _write_avi(frames, rate=25)
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), (None, None, sr, n * 1000 // sr)),
+         (2, "video", bytearray(avi), (8, 6, None, 120))],
+        schema=mm.MEDIA_SCHEMA)
+    feats = {r.doc_id: np.array(r.feature, np.float32)
+             for r in mm.extract_features(media, strict=True).collect()}
+
+    want_audio = mm._audio_feature(mm.decode_audio(wav))
+    assert np.allclose(feats[1], want_audio, atol=1e-6)
+    sampled = mm.sample_video_frames(avi)  # default 1000 ms -> frame 0 only
+    assert len(sampled) == 1 and (sampled[0] == frames[0]).all()
+    pooled = np.mean([mm._pool_image_feature(f) for f in sampled], axis=0)
+    want_video = (pooled / np.linalg.norm(pooled)).astype(np.float32)
+    assert np.allclose(feats[2], want_video, atol=1e-6)
+    # decoded-content features are NOT the byte-histogram fallback
+    assert not np.allclose(feats[1], mm._fake_feature(wav), atol=1e-3)
+    assert not np.allclose(feats[2], mm._fake_feature(avi), atol=1e-3)

@@ -268,6 +268,47 @@ def _timed_pool(n: int) -> float:
     return time.time() - t0
 
 
+def _sustained_work(seconds: float) -> int:
+    """Fixed-size numpy hash+sort iterations for ``seconds`` of sustained
+    load; returns completed iteration count (the per-worker throughput)."""
+    import numpy as np
+    a = np.random.default_rng(1).integers(
+        0, 2**62, size=40_000).astype(np.uint64)
+    t0 = time.time()
+    iters = 0
+    while time.time() - t0 < seconds:
+        a = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (a >> np.uint64(31))
+        a.sort()
+        iters += 1
+    return iters
+
+
+def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0) -> dict:
+    """The SUSTAINED-load hardware ceiling for an (n_lo, n_hi) worker pair:
+    unlike the short-burst probe (~1.4 s bursts measure ~1.0 on this host),
+    the flagship runs 50-180 s of continuous load, under which this host's
+    per-core throughput drops as more cores stay busy (turbo / shared
+    memory bus).  Ceiling = thr(n_hi) / ((n_hi/n_lo) * thr(n_lo)) — the
+    efficiency ANY perfectly parallel job could reach; the flagship's raw
+    number divided by this is what transfers to N -> 4N separate
+    executors.  External-CPU-monitored so a contaminated window is
+    visible."""
+    n_lo, n_hi = pair
+    out: dict = {"seconds": seconds}
+    for n in (n_lo, n_hi):
+        wait_for_quiet()
+        mon = ExternalCpuMonitor()
+        with mp.Pool(n) as p:
+            iters = p.map(_sustained_work, [seconds] * n)
+        ext = mon.stop()
+        out[f"iters{n}"] = iters
+        out[f"total{n}"] = sum(iters)
+        out[f"ext_cores{n}"] = round(ext, 2)
+    out["ceiling"] = round(
+        out[f"total{n_hi}"] / ((n_hi / n_lo) * out[f"total{n_lo}"]), 3)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clusters", type=int, default=2000)
@@ -291,7 +332,14 @@ def main() -> None:
     ap.add_argument("--no-shm", action="store_true",
                     help="keep stage barriers and shuffle dirs on disk "
                          "instead of the /dev/shm default")
+    ap.add_argument("--sustained-probe", action="store_true",
+                    help="run ONLY the sustained-load hardware-ceiling "
+                         "probe for --pair and exit (no Spark)")
     args = ap.parse_args()
+
+    if args.sustained_probe:
+        print(json.dumps(sustained_ceiling(tuple(args.pair))), flush=True)
+        return
 
     if not args.no_shm:
         shm = use_shm_tmp()
