@@ -283,7 +283,30 @@ def _sustained_work(seconds: float) -> int:
     return iters
 
 
-def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0) -> dict:
+def _sustained_work_mem(seconds: float) -> int:
+    """Memory-BANDWIDTH-bound twin of _sustained_work: streams a 64 MB
+    buffer (far beyond L2/L3 slice) per iteration, so throughput is set by
+    the shared memory bus, not ALU.  The flagship's worst-scaling stages
+    (HTML extract, probe+verify join) move large string/array payloads —
+    their hardware ceiling is THIS probe, not the cache-resident hash+sort
+    one (40k u64 = 320 KB, L2-resident).  Ceiling attribution per stage
+    uses whichever probe matches the stage's byte/ALU profile."""
+    import numpy as np
+    a = np.random.default_rng(1).integers(
+        0, 255, size=64 << 20).astype(np.uint8)
+    t0 = time.time()
+    iters = 0
+    acc = 0
+    while time.time() - t0 < seconds:
+        b = a.copy()              # 64 MB read + 64 MB write
+        b ^= np.uint8(0x5A)       # 64 MB read-modify-write
+        acc += int(b[:: 1 << 16].sum())
+        iters += 1
+    return iters
+
+
+def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0,
+                      kernel: str = "cpu") -> dict:
     """The SUSTAINED-load hardware ceiling for an (n_lo, n_hi) worker pair:
     unlike the short-burst probe (~1.4 s bursts measure ~1.0 on this host),
     the flagship runs 50-180 s of continuous load, under which this host's
@@ -294,12 +317,13 @@ def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0) -> dict:
     executors.  External-CPU-monitored so a contaminated window is
     visible."""
     n_lo, n_hi = pair
-    out: dict = {"seconds": seconds}
+    work = _sustained_work_mem if kernel == "mem" else _sustained_work
+    out: dict = {"seconds": seconds, "kernel": kernel}
     for n in (n_lo, n_hi):
         wait_for_quiet()
         mon = ExternalCpuMonitor()
         with mp.Pool(n) as p:
-            iters = p.map(_sustained_work, [seconds] * n)
+            iters = p.map(work, [seconds] * n)
         ext = mon.stop()
         out[f"iters{n}"] = iters
         out[f"total{n}"] = sum(iters)
@@ -335,10 +359,25 @@ def main() -> None:
     ap.add_argument("--sustained-probe", action="store_true",
                     help="run ONLY the sustained-load hardware-ceiling "
                          "probe for --pair and exit (no Spark)")
+    ap.add_argument("--probe-kernel", choices=["cpu", "mem"], default="cpu",
+                    help="sustained-probe kernel: cpu = cache-resident "
+                         "hash+sort (ALU ceiling), mem = 64MB-streaming "
+                         "(memory-bandwidth ceiling — the right ceiling "
+                         "for extract/verify-join-shaped stages)")
+    ap.add_argument("--deadline", type=float, default=0.0, metavar="SECS",
+                    help="wall-clock budget for the whole invocation; the "
+                         "interleaved loop stops starting new pairs once "
+                         "the projected finish (elapsed + worst observed "
+                         "pair time) would exceed it, prints the summary "
+                         "and exits.  Round-5 regression test: a matrix "
+                         "must never outlive its round")
     args = ap.parse_args()
+    t_start = time.time()
 
     if args.sustained_probe:
-        print(json.dumps(sustained_ceiling(tuple(args.pair))), flush=True)
+        print(json.dumps(sustained_ceiling(tuple(args.pair),
+                                           kernel=args.probe_kernel)),
+              flush=True)
         return
 
     if not args.no_shm:
@@ -355,7 +394,15 @@ def main() -> None:
         clean = 0
         attempts = 0
         max_attempts = args.interleaved * 2 + 4
+        pair_cost = 360.0  # worst observed pair wall+gates; refined per pair
         while clean < args.interleaved and attempts < max_attempts:
+            if args.deadline and \
+                    time.time() - t_start + pair_cost > args.deadline:
+                print(json.dumps({"deadline_stop": True,
+                                  "elapsed": round(time.time() - t_start),
+                                  "deadline": args.deadline}), flush=True)
+                break
+            t_pair = time.time()
             wait_for_quiet()
             w_lo, docs, e_lo = run_flagship(n_lo)
             wait_for_quiet()
@@ -375,6 +422,7 @@ def main() -> None:
                           "clean": is_clean})
             clean += is_clean
             attempts += 1
+            pair_cost = max(pair_cost, time.time() - t_pair)
             print(json.dumps(pairs[-1]), flush=True)
 
         def _median(vals):
@@ -388,12 +436,13 @@ def main() -> None:
         effs = [p["efficiency"] for p in pairs]
         clean_effs = [p["efficiency"] for p in pairs if p["clean"]]
         print(json.dumps({
-            "pairs": pairs, "docs": docs,
-            "median_efficiency_all": round(_median(effs), 3),
+            "pairs": pairs, "docs": docs if pairs else 0,
+            "median_efficiency_all": (round(_median(effs), 3)
+                                      if effs else None),
             "clean_pairs": len(clean_effs),
             "median_efficiency_clean": (round(_median(clean_effs), 3)
                                         if clean_effs else None),
-            "best_pair_efficiency": max(effs)}))
+            "best_pair_efficiency": max(effs) if effs else None}))
         return
 
     if not args.skip_gen or not os.path.exists(CORPUS_DIR):
