@@ -19,6 +19,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -322,8 +323,61 @@ def _q_minhash_dedup_banded(spark, sf_dir):
     return a.select("doc_id", "cluster_id", "is_rep")
 
 
+def _simhash_vote_agg(toks):
+    """(doc_id, v0..v63) Charikar majority votes over md5(token) bits:
+    each distinct token votes +1/-1 per bit position of its md5.  Shared by
+    the token_simhash hex twin and the simhash_dedup end-to-end oracle —
+    the two MUST aggregate identically for the fingerprints to agree."""
+    h = F.md5("tok")
+    votes = [
+        F.sum(2 * F.shiftright(F.conv(F.substring(h, j // 4 + 1, 1), 16, 10)
+                               .cast("int"), j % 4).bitwiseAND(F.lit(1)) - 1)
+        .alias(f"v{j}")
+        for j in range(64)
+    ]
+    return toks.groupBy("doc_id").agg(*votes)
+
+
+def _token_simhash_sketch(spark, sf_dir):
+    """(doc_id, simhash long) — the signed-64-bit assembly of the md5-token
+    Charikar votes (bit j set iff vote sum > 0; bit 63 contributes -2^63 in
+    two's complement, matching DuckDB's xor/bit_count semantics).  Docs
+    below the operator's min_len gate are excluded exactly as
+    operators/sketch.sketch_simhash excludes them before sketching;
+    token-less docs drop out of the groupBy in both engines."""
+    docs = _docs(spark, sf_dir).where(
+        F.length("text") >= _CFG.min_len).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    toks = _token_postings(spark, sf_dir).select("doc_id", "tok") \
+        .join(docs, "doc_id")
+    agg = _simhash_vote_agg(toks)
+    bit = [F.shiftleft(F.when(F.col(f"v{j}") > 0, F.lit(1))
+                       .otherwise(F.lit(0)).cast("long"), j)
+           for j in range(63)]
+    expr = bit[0]
+    for b in bit[1:]:
+        expr = expr + b
+    # sign bit last so every partial sum stays in long range (ANSI mode)
+    expr = expr + F.when(F.col("v63") > 0,
+                         F.lit(-(2 ** 63))).otherwise(F.lit(0))
+    return agg.select("doc_id", expr.cast("long").alias("simhash"))
+
+
 def _q_simhash_dedup(spark, sf_dir):
-    return simhash_dedup(_docs(spark, sf_dir), _CFG)
+    """SimHash dedup end-to-end, ORACLE-CHECKED (promoted from rows-only in
+    r6): the PRODUCTION pigeonhole-block candidate generation +
+    bit_count(xor) exact verify + posting-cap + connected components +
+    assignment path (operators/dedup.simhash_edges/simhash_dedup,
+    src/SketchInfo.cpp sketch surface + src/MST.cpp:109-142 clustering
+    semantics) runs over an md5-token SimHash supplied via the sketch_df
+    hook instead of the rolling shingle hash — md5 is identical across
+    engines, so the DuckDB twin rebuilds the fingerprints bit-exactly,
+    takes the exact hamming<=k pair set (pigeonhole recall is 1.0 and the
+    posting cap cannot fire below 2000 docs/block), and runs the same CC.
+    The rolling-shingle production sketch keeps its pytest parity coverage
+    (tests/test_dedup.py simhash block/verify tests)."""
+    sk = _token_simhash_sketch(spark, sf_dir)
+    return simhash_dedup(_docs(spark, sf_dir), _CFG, sketch_df=sk)
 
 
 def _q_token_clusters(spark, sf_dir):
@@ -554,14 +608,7 @@ def _q_token_simhash(spark, sf_dir):
     rolling shingle hash).  Output: (doc_id, simhash_hex 16-char string) —
     a hex string avoids the int64 sign-bit overflow at bit 63."""
     toks = _token_postings(spark, sf_dir).select("doc_id", "tok")
-    h = F.md5("tok")
-    votes = [
-        F.sum(2 * F.shiftright(F.conv(F.substring(h, j // 4 + 1, 1), 16, 10)
-                               .cast("int"), j % 4).bitwiseAND(F.lit(1)) - 1)
-        .alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    agg = _simhash_vote_agg(toks)
     hexmap = "0123456789abcdef"
     digits = []
     for d in range(16):
@@ -576,11 +623,18 @@ def _q_token_simhash(spark, sf_dir):
             .select("doc_id", F.concat(*digits).alias("simhash_hex")))
 
 
-def _sql_token_simhash() -> str:
-    votes = ", ".join(
+def _sql_simhash_votes() -> str:
+    """v0..v63 vote aggregates over md5 hex — the DuckDB twin of
+    _simhash_vote_agg, shared by the token_simhash and simhash_dedup
+    oracles."""
+    return ", ".join(
         f"sum(2 * (((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
         f" >> {j % 4}) & 1) - 1) AS v{j}"
         for j in range(64))
+
+
+def _sql_token_simhash() -> str:
+    votes = _sql_simhash_votes()
     digits = []
     for d in range(16):
         val = " + ".join(
@@ -598,6 +652,39 @@ def _sql_token_simhash() -> str:
         svotes AS (SELECT doc_id, {votes} FROM stoks GROUP BY doc_id)
         SELECT d.doc_id, {concat} AS simhash_hex
         FROM documents d LEFT JOIN svotes USING (doc_id)
+    """
+
+
+def _sql_simhash_dedup() -> str:
+    """DuckDB twin of _q_simhash_dedup: md5-token SimHash assembled into a
+    signed BIGINT (two's complement — DuckDB xor/bit_count match Spark's
+    long semantics, verified: bit_count(xor(-2^63, 0)) = 1), exact
+    hamming<=k pair set, recursive-CTE connected components, singleton
+    attach + min-id rep — the same final SELECT shape as token_clusters."""
+    bigint = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+    bigint += " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""
+        WITH RECURSIVE sdraw AS (
+          SELECT doc_id, unnest(list_distinct(
+                     regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+          FROM documents WHERE length(text) >= {_CFG.min_len}
+        ),
+        sdtoks AS (SELECT doc_id, md5(tok) AS h FROM sdraw),
+        sdvotes AS (SELECT doc_id, {_sql_simhash_votes()}
+                    FROM sdtoks GROUP BY doc_id),
+        sdsig AS (SELECT doc_id, ({bigint})::BIGINT AS sh FROM sdvotes),
+        sdedges AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM sdsig a JOIN sdsig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= {_CFG.simhash_hamming_max}
+        ),
+        {_sql_cc('sdedges', 'sdcomp')}
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               (d.doc_id = coalesce(c.cluster_id, d.doc_id)) AS is_rep
+        FROM documents d LEFT JOIN sdcomp c ON d.doc_id = c.doc_id
+        WHERE length(d.text) >= {_CFG.min_len}
     """
 
 
@@ -694,6 +781,19 @@ def _assignment_fp(df):
     return (r["n"], r["h"])
 
 
+def _unroll_guard_enabled() -> bool:
+    """The _LPA_UNROLL fingerprint guards re-run their operator a second
+    time to verify the fixed point lies within the SQL twin's unroll depth
+    — load-bearing for oracle coupling, but it doubles the operator cost.
+    Default ON (the driver's correctness harness imports this module as-is
+    and must keep the named-error protection); bench.py sets
+    RTC_UNROLL_GUARD=0 so benched walls time the OPERATOR, not the guard
+    (VERDICT r5 'What's wrong' #4).  The guard never changes the returned
+    result — it only converts an out-of-depth fixed point into a named
+    error instead of an opaque oracle hash mismatch."""
+    return os.environ.get("RTC_UNROLL_GUARD", "1") != "0"
+
+
 def _q_label_propagation(spark, sf_dir):
     """Leiden-lite community detection (src/leiden.cpp:295-471 surface:
     weight = 1-dist similarity graph + resolution knob) over the token-edge
@@ -721,12 +821,13 @@ def _q_label_propagation(spark, sf_dir):
     # Compared by (count, order-free hash-sum) fingerprint — ADVICE r4:
     # collecting both full assignment sets pulled every row through the
     # driver and roughly tripled the cost bench.py records for this query.
-    chk = label_propagation(edges, resolution=1.0, max_iter=_LPA_UNROLL,
-                            monotone_labels=True, _materialized=True)
-    if _assignment_fp(comm) != _assignment_fp(chk):
-        raise RuntimeError(
-            f"label_propagation fixed point exceeds _LPA_UNROLL="
-            f"{_LPA_UNROLL}; raise the oracle unroll depth to match")
+    if _unroll_guard_enabled():
+        chk = label_propagation(edges, resolution=1.0, max_iter=_LPA_UNROLL,
+                                monotone_labels=True, _materialized=True)
+        if _assignment_fp(comm) != _assignment_fp(chk):
+            raise RuntimeError(
+                f"label_propagation fixed point exceeds _LPA_UNROLL="
+                f"{_LPA_UNROLL}; raise the oracle unroll depth to match")
     docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
     return (docs.join(comm, "doc_id", "left")
             .select("doc_id",
@@ -805,11 +906,12 @@ def _q_community_multilevel(spark, sf_dir):
     kw = dict(resolution=1.0, max_levels=2, monotone_base=True,
               min_gain=float("-inf"))
     comm = community_multilevel(edges, **kw)
-    chk = community_multilevel(edges, max_iter=_LPA_UNROLL, **kw)
-    if _assignment_fp(comm) != _assignment_fp(chk):
-        raise RuntimeError(
-            f"community_multilevel fixed point exceeds _LPA_UNROLL="
-            f"{_LPA_UNROLL} at some level; raise the oracle unroll depth")
+    if _unroll_guard_enabled():
+        chk = community_multilevel(edges, max_iter=_LPA_UNROLL, **kw)
+        if _assignment_fp(comm) != _assignment_fp(chk):
+            raise RuntimeError(
+                f"community_multilevel fixed point exceeds _LPA_UNROLL="
+                f"{_LPA_UNROLL} at some level; raise the oracle unroll depth")
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"))
     return (docs.join(comm, "doc_id", "left")
@@ -1503,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "token_simhash": _sql_token_simhash(),
+        "simhash_dedup": _sql_simhash_dedup(),
         "token_winnow": f"""
             WITH wtok AS (
               SELECT doc_id, source,

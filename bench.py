@@ -21,20 +21,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _wait_for_quiet(threshold: float = 2.0, max_wait: int = 120) -> None:
-    """Bounded load gate: the sandbox host shows intermittent external CPU
-    load that would otherwise pollute wall-clock timings (observed 7.2-9.2s
-    flagship band at load 0-4).  Caps at max_wait so the driver's budget is
-    never blown."""
+def _gate_ext(gate: float = 1.0, max_wait: float = 60.0,
+              sample: float = 3.0) -> float:
+    """External-core gate for BETWEEN-wall use: the 1-min load average is
+    useless there (our own just-finished run inflates it for a minute), so
+    sample actual non-our-tree CPU via /proc/stat jiffies and wait until
+    fewer than ``gate`` external cores are busy or the budget runs out.
+    Returns the last sampled external-core figure."""
+    from tools.scaling_bench import ExternalCpuMonitor
+
     t0 = time.time()
-    while time.time() - t0 < max_wait and os.getloadavg()[0] >= threshold:
-        time.sleep(5)
+    while True:
+        mon = ExternalCpuMonitor()
+        time.sleep(sample)
+        ext = mon.stop()
+        if ext < gate or time.time() - t0 >= max_wait:
+            return ext
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    _wait_for_quiet()
+    # benched walls time the OPERATOR: the _LPA_UNROLL fingerprint guards
+    # (oracle-coupling verification, a full second operator run) stay on
+    # for the driver's correctness harness but off here (VERDICT r5 #4)
+    os.environ["RTC_UNROLL_GUARD"] = "0"
+    # session-start load gate gets the FULL budget (VERDICT r5 'What's
+    # wrong' #3: run 1 is the headline cold wall and started ungated in
+    # r5, which is exactly how the orphan-JVM contamination went
+    # unrecorded); loadavg is a valid instrument here because none of our
+    # own load has run yet
+    from tools.scaling_bench import ExternalCpuMonitor, wait_for_quiet
+    wait_for_quiet(threshold=2.0, max_wait=600)
 
     from rabbittclust_spark.session import get_spark
 
@@ -97,20 +115,30 @@ def main() -> None:
     # comparable with rounds 1-4 (which timed single cold runs);
     # "queries_min3" is the warm operator cost, the regression signal
     # (compare min-of-3 round-over-round, >15% drift needs a cause).
+    # EVERY timed wall is (a) external-core gated before it starts and
+    # (b) external-core MONITORED while it runs — the recorded ext_cores
+    # make the artifact self-certifying: a contaminated wall is visible in
+    # BENCH_r{N}.json itself instead of needing post-hoc adjudication
+    # (VERDICT r5 'What's wrong' #1/#3: the round-5 record was polluted by
+    # an orphan benchmark JVM and nothing in the artifact could show it).
     walls: dict[str, list[float]] = {}
+    ext_cores: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in headline:
         fn = qs[name]
         ws: list[float] = []
+        es: list[float] = []
         for i in range(3):
-            if i:
-                _wait_for_quiet(max_wait=10)
+            _gate_ext(max_wait=120.0 if i == 0 else 30.0)
+            mon = ExternalCpuMonitor()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             ws.append(round(time.time() - t0, 3))
+            es.append(round(mon.stop(), 2))
         walls[name] = ws
+        ext_cores[name] = es
         timings[name] = ws[0]
         rows[name] = n
 
@@ -134,6 +162,7 @@ def main() -> None:
                               if flagship_min else None),
         "flagship_metric": "cold_first_wall",
         "flagship_walls": walls["minhash_dedup"],
+        "ext_cores": ext_cores,
         "rows": rows,
         "cpus": int(cpus),
     }

@@ -489,8 +489,12 @@ def ivf_index(corpus: DataFrame, nlist: int | None = None, seed: int = 7,
                 continue
             vecs = np.asarray([np.asarray(v, dtype=np.float64)
                                for v in b["vec"]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vecs = vecs / np.maximum(norms, 1e-12)
+            # UNNORMALIZED inner product: argmax over centroids is
+            # scale-invariant (the per-vector norm is one positive factor
+            # across all centroids), and skipping the divide keeps the
+            # scored floats in the same space as the SQL oracle's
+            # list_inner_product on raw vectors (ADVICE r5: the normalized
+            # detour could flip near-tie centroid assignments per engine)
             yield pd.DataFrame({
                 "vec_id": b["vec_id"],
                 "list_id": np.argmax(vecs @ cents.T, axis=1).astype(np.int32),
@@ -533,8 +537,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 continue
             vecs = np.asarray([np.asarray(v, dtype=np.float64)
                                for v in b["vec"]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = (vecs / np.maximum(norms, 1e-12)) @ cents.T
+            # unnormalized inner product — same ranking (positive per-query
+            # scale factor), same float space as the SQL oracle (ADVICE r5)
+            sims = vecs @ cents.T
             # stable sort: probe-list ties (equidistant centroids) resolve
             # to the lowest list_id, matching the SQL oracle's ORDER BY
             top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]

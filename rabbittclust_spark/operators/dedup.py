@@ -133,7 +133,8 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
 
 
 def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sketch_df: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup edges: (src, dst, hamming) with hamming <=
     cfg.simhash_hamming_max.
 
@@ -141,13 +142,20 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
     (hamming_max + 1) blocks; by pigeonhole every qualifying pair shares at
     least one block, so recall is 1.0.  Verification: JVM-side
     bit_count(xor) — no Python in the hot path after sketching.
+
+    ``sketch_df`` swaps in a precomputed (doc_id, simhash long) table for
+    the default rolling-shingle sketch — the block/cap/verify path is
+    hash-agnostic (any 64-bit fingerprint), which is what lets the driver
+    oracle run this exact operator over an SQL-expressible md5-token
+    SimHash while production keeps the rolling shingle hash.
     """
     from rabbittclust_spark.sources.tables import materialize as _mat
 
     num_blocks = cfg.simhash_hamming_max + 1
     # barrier before the self-join: both join branches would otherwise
     # re-execute the sketch UDF (see minhash_dedup)
-    sh = _mat(sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col),
+    sh = _mat(sketch_df if sketch_df is not None
+              else sketch_simhash(docs, cfg, id_col=id_col, text_col=text_col),
               "simhash")
 
     # block keys as pure shift/mask column expressions — zero Python after
@@ -195,9 +203,11 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
 
 
 def simhash_dedup(docs: DataFrame, cfg: PipelineConfig,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sketch_df: DataFrame | None = None) -> DataFrame:
     """SimHash dedup assignments: (doc_id, cluster_id, is_rep)."""
-    edges = simhash_edges(docs, cfg, id_col=id_col, text_col=text_col)
+    edges = simhash_edges(docs, cfg, id_col=id_col, text_col=text_col,
+                          sketch_df=sketch_df)
     membership = connected_components(edges)
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        F.col(text_col).alias("text"))

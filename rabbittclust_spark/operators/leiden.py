@@ -349,7 +349,13 @@ def _edge_arrays(edge_list):
     Python; matches components.py's union-find path)."""
     import numpy as np
 
-    if isinstance(edge_list, tuple) and len(edge_list) == 3:
+    # ADVICE r5: a tuple of exactly 3 edge TRIPLES would satisfy a bare
+    # len==3 check and be silently misparsed as (u, v, w) arrays — take
+    # the array path only when the first element really is a 1-D
+    # array-like of scalars, and fall through to the triples path otherwise
+    if (isinstance(edge_list, tuple) and len(edge_list) == 3
+            and isinstance(edge_list[0], np.ndarray)
+            and edge_list[0].ndim == 1):
         return (np.ascontiguousarray(edge_list[0], dtype=np.int64),
                 np.ascontiguousarray(edge_list[1], dtype=np.int64),
                 np.ascontiguousarray(edge_list[2], dtype=np.float64))

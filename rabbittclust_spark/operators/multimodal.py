@@ -2,8 +2,9 @@
 
 The Spark-side plumbing (schemas, batching, partition strategy, UDF
 signatures) is real and tested.  Codec status: image decode is REAL when
-PIL imports (any PIL-readable format); audio decode is REAL for WAV via
-the stdlib ``wave`` module (no external dependency); video frame sampling
+PIL imports (any PIL-readable format); audio decode is REAL for integer-PCM WAV
+via the stdlib ``wave`` module and for G.711 mu-law/A-law WAV via numpy
+expansion tables (no external dependency); video frame sampling
 is REAL for uncompressed RIFF AVI (BI_RGB DIB frames) via a stdlib-struct
 RIFF walk + numpy; compressed audio/video remain honest
 NotImplementedError stubs — their codecs (ffmpeg / decord) are not in
@@ -66,14 +67,54 @@ def decode_image(payload: bytes) -> np.ndarray:
                               " (PIL not importable)")
 
 
+def _g711_decode_table(law: str) -> np.ndarray:
+    """256-entry int16 decode table for G.711 companded WAV payloads
+    (wFormatTag 7 = mu-law, 6 = A-law) — the published ITU-T G.711
+    expansion formulas (segment + quantized mantissa, bias 0x84 for
+    mu-law), computed with numpy only; stdlib ``wave`` refuses these
+    formats and ``audioop`` left the stdlib, so the table IS the codec."""
+    codes = np.arange(256, dtype=np.int32)
+    if law == "ulaw":
+        u = ~codes & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        val = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    else:  # alaw
+        a = codes ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        t = np.where(seg == 0, t + 8,
+                     (t + 0x108) << np.maximum(seg - 1, 0))
+        val = np.where(a & 0x80, t, -t)
+    return val.astype(np.int16)
+
+
+def _wav_fmt_and_data(data: bytes) -> tuple[int, int, bytes]:
+    """(wFormatTag, nChannels, data-chunk bytes) from a RIFF/WAVE payload
+    via the shared _riff_chunks walk — used for the G.711 formats stdlib
+    wave refuses to open."""
+    import struct
+
+    fmt_code = nch = None
+    body = None
+    for cid, (b0, b1) in _riff_chunks(data, 12, len(data)):
+        if cid == b"fmt " and b1 - b0 >= 4:
+            fmt_code, nch = struct.unpack("<HH", data[b0:b0 + 4])
+        elif cid == b"data":
+            body = data[b0:b1]
+    if fmt_code is None or body is None:
+        raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    return fmt_code, max(nch or 1, 1), body
+
+
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Decode WAV (RIFF PCM / IEEE-float) to float32 samples in [-1, 1],
-    shape (frames, channels) — REAL via the stdlib ``wave`` module + numpy
-    (no external codec needed), mirroring decode_image's real-when-possible
-    pattern.  Compressed formats (mp3/ogg/flac) still need ffmpeg-class
-    codecs absent from this container and raise the honest
-    NotImplementedError; callers in non-strict mode fall back to the
-    deterministic fake feature either way."""
+    """Decode WAV to float32 samples in [-1, 1], shape (frames, channels)
+    — REAL via stdlib ``wave`` + numpy for 8/16/32-bit integer PCM, and
+    via the numpy G.711 expansion tables for mu-law/A-law WAVs (wFormatTag
+    7/6, which stdlib wave refuses).  Everything else (IEEE-float WAV,
+    ADPCM, mp3/ogg/flac) raises the honest NotImplementedError — ONE
+    strict-mode exception type (wave.Error is re-raised, ADVICE r5);
+    callers in non-strict mode fall back to the deterministic fake feature
+    either way."""
     import io
     import wave
 
@@ -81,9 +122,24 @@ def decode_audio(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "only WAV decodes in this container (stdlib wave); compressed "
             "audio needs ffmpeg/torchaudio")
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch, width = w.getnchannels(), w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch, width = w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as exc:
+        # stdlib wave only opens integer PCM; G.711 companded WAVs
+        # (wFormatTag 6 = A-law, 7 = mu-law) decode here via the numpy
+        # expansion tables; everything else (IEEE-float, ADPCM, ...) stays
+        # an honest refusal with ONE strict-mode exception type (ADVICE r5)
+        fmt_code, nch, body = _wav_fmt_and_data(bytes(payload))
+        if fmt_code in (6, 7):
+            table = _g711_decode_table("alaw" if fmt_code == 6 else "ulaw")
+            x = table[np.frombuffer(body, dtype=np.uint8)].astype(
+                np.float32) / 32768.0
+            return x[: (len(x) // nch) * nch].reshape(-1, nch)
+        raise NotImplementedError(
+            f"WAV format tag {fmt_code} not decodable here (stdlib wave "
+            f"covers integer PCM; numpy tables cover G.711): {exc}") from exc
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

@@ -341,6 +341,29 @@ def test_reference_array_entrypoint_equivalence():
             == community_multilevel_reference((eu, ev, dd)))
 
 
+def test_edge_arrays_tuple_of_three_triples():
+    """ADVICE r5 regression: a TUPLE of exactly 3 edge triples must take
+    the triples path (it used to satisfy the bare len==3 check and be
+    silently misparsed as three (u, v, w) arrays, producing wrong
+    communities with no error)."""
+    import numpy as np
+
+    from rabbittclust_spark.operators.leiden import _edge_arrays
+
+    eu, ev, dd = _edge_arrays(((1, 2, 0.5), (2, 3, 0.25), (3, 4, 0.75)))
+    assert eu.tolist() == [1, 2, 3]
+    assert ev.tolist() == [2, 3, 4]
+    assert dd.tolist() == [0.5, 0.25, 0.75]
+    # and the array fast path still dispatches
+    au, av, ad = _edge_arrays((np.array([9, 8]), np.array([1, 2]),
+                               np.array([0.1, 0.2])))
+    assert au.tolist() == [9, 8] and ad.tolist() == [0.1, 0.2]
+    # tuple form == list form on a real graph
+    edges = _planted_graph(seed=33)
+    assert (label_propagation_reference(tuple(edges[:3]))
+            == label_propagation_reference(list(edges[:3])))
+
+
 def test_multilevel_zero_weight_graph(spark):
     """All-zero-weight edges: LPA has no label set (m2 == 0) — the
     multilevel loop must keep the previous mapping / return empty instead

@@ -113,6 +113,56 @@ def test_decode_audio_wav_roundtrip():
         mm.decode_audio(b"")
 
 
+def _write_g711_wav(codes: bytes, fmt_code: int, nch: int = 1,
+                    sr: int = 8000) -> bytes:
+    """Minimal RIFF writer for G.711 WAVs (wFormatTag 6 = A-law,
+    7 = mu-law) — stdlib wave refuses to WRITE these too, so the test
+    brings its own container, mirroring _write_avi."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr, sr * nch, nch, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes
+            + (b"\x00" if len(codes) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_audio_g711():
+    """G.711 mu-law/A-law WAVs decode via the numpy expansion tables:
+    spot values from the published ITU-T G.711 expansion (mu-law 0xFF -> 0,
+    0x00 -> -32124; A-law 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256), stereo
+    deinterleave, and honest refusal for format tags with no codec."""
+    import numpy as np
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    ulaw = mm.decode_audio(_write_g711_wav(bytes([0xFF, 0x00, 0x7F]), 7))
+    assert ulaw.shape == (3, 1) and ulaw.dtype == np.float32
+    assert np.allclose(ulaw[:, 0] * 32768.0, [0.0, -32124.0, 0.0])
+
+    alaw = mm.decode_audio(_write_g711_wav(bytes([0x55, 0xD5, 0x2A]), 6))
+    assert np.allclose(alaw[:, 0] * 32768.0, [-8.0, 8.0, -32256.0])
+
+    # stereo interleave: LRLR order lands as (frames, 2)
+    st = mm.decode_audio(
+        _write_g711_wav(bytes([0xFF, 0x00, 0xFF, 0x00]), 7, nch=2))
+    assert st.shape == (2, 2)
+    assert np.allclose(st[:, 1] * 32768.0, [-32124.0, -32124.0])
+    assert np.allclose(st[:, 0], 0.0)
+
+    # monotone ramp: each mu-law segment is monotone in the code, so the
+    # decoded magnitudes of 0x00..0x7F (negatives) must be non-decreasing
+    tab = mm._g711_decode_table("ulaw")
+    assert (np.diff(tab[:128].astype(np.int64)) >= 0).all()
+    assert tab.min() >= -32768 and tab.max() <= 32767
+
+    # IEEE-float WAV (fmt tag 3): still an honest refusal, with the
+    # NotImplementedError type (not a leaked wave.Error — ADVICE r5)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00\x00\x00\x00", 3))
+
+
 def _write_avi(frames, rate=25):
     """Minimal uncompressed-AVI writer (BI_RGB 24-bit, bottom-up DIB rows,
     4-byte row padding) — the stdlib has no AVI writer, so the round-trip

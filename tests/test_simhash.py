@@ -71,6 +71,30 @@ def test_block_exprs_match_python(spark):
             assert got[s] == simhash_blocks(u, nb), (u, nb)
 
 
+def test_simhash_dedup_sketch_df_hook(spark):
+    """simhash_dedup(sketch_df=...) clusters from SUPPLIED fingerprints —
+    the hash-agnostic entry the r6 driver oracle uses (md5-token SimHash
+    in, production block/verify/CC path throughout).  Fingerprints 0, 1,
+    3 are mutually within hamming 3; -1 is ~64 bits from all of them."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.config import PipelineConfig
+    from rabbittclust_spark.operators.dedup import simhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(1, 5)], "doc_id long, text string")
+    sk = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 3), (4, -1)], "doc_id long, simhash long")
+    out = simhash_dedup(docs, PipelineConfig(min_len=20), sketch_df=sk)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_rep"])
+            for r in out.collect()}
+    assert rows == {1: (1, True), 2: (1, False), 3: (1, False),
+                    4: (4, True)}
+    # and the default path (no sketch_df) still sketches from text
+    out2 = simhash_dedup(docs, PipelineConfig(min_len=20))
+    assert out2.count() == 4
+
+
 def test_blocks_rejects_single_block():
     import pytest as _pytest
     with _pytest.raises(ValueError):
