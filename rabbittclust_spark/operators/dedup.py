@@ -53,7 +53,8 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
                   id_col: str = "doc_id", text_col: str = "text",
-                  materialize: bool = True) -> dict[str, DataFrame]:
+                  materialize: bool = True,
+                  sketch_df: DataFrame | None = None) -> dict[str, DataFrame]:
     """The flagship pipeline: docs -> assignments at cfg.threshold.
 
     Stages (SURVEY.md §7 minimum slice): optional exact pre-collapse ->
@@ -67,6 +68,17 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
     fixpoint and the final assignment join consume them in several actions
     (the parquet-table pipeline in plans/pipeline.py persists stages anyway;
     this flag serves the in-memory path).
+
+    ``sketch_df`` swaps in a precomputed sketch table for the default
+    rolling-shingle kernel — (doc_id, len, n, sig array<long>) with sig
+    sorted ascending, plus a band_keys array column when
+    cfg.pair_mode == "banded".  The candidate/verify/threshold/CC path is
+    hash-agnostic (any sorted signature array), which is what lets the
+    driver oracle run this exact operator over an SQL-expressible md5-token
+    bottom-s MinHash (same recipe as simhash_edges' hook) while production
+    keeps the rolling shingle hash.  The caller owns pre-collapse
+    consistency: when cfg.exact_prededup is on, sketch_df must cover
+    exactly the canonical docs at or above cfg.min_len.
     """
     from rabbittclust_spark.sources.tables import materialize as _mat
 
@@ -92,13 +104,18 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
     if cfg.pair_mode == "banded":
         # fused kernel: ONE shingling pass produces both the bottom-s sketch
         # and the band keys (two separate passes re-shingled every doc twice)
-        fused = sketch_minhash_bands(canon_docs, cfg)
+        if sketch_df is not None and "band_keys" not in sketch_df.columns:
+            raise ValueError(
+                "banded pair_mode with sketch_df requires a band_keys column")
+        fused = sketch_df if sketch_df is not None \
+            else sketch_minhash_bands(canon_docs, cfg)
         if materialize:
             fused = _mat(fused, "sketches")
         sketches = fused.select("doc_id", "len", "n", "sig")
         bands = fused.select("doc_id", "band_keys")
     else:
-        sketches = sketch_minhash(canon_docs, cfg)
+        sketches = sketch_df if sketch_df is not None \
+            else sketch_minhash(canon_docs, cfg)
         if materialize:
             sketches = _mat(sketches, "sketches")
         bands = None
