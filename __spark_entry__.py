@@ -763,7 +763,24 @@ def _sql_simhash_dedup() -> str:
     signed BIGINT (two's complement — DuckDB xor/bit_count match Spark's
     long semantics, verified: bit_count(xor(-2^63, 0)) = 1), exact
     hamming<=k pair set, recursive-CTE connected components, singleton
-    attach + min-id rep — the same final SELECT shape as token_clusters."""
+    attach + min-id rep — the same final SELECT shape as token_clusters.
+
+    Candidates come from the SAME pigeonhole block join as production
+    (ADVICE r6: the previous all-pairs self-join was O(n^2) and would
+    dominate oracle runs on larger corpora) — block i = (i << 56) |
+    ((sh >> pos) & mask), the exact functions/simhash.simhash_blocks
+    encoding; arithmetic shift is safe because the mask discards every
+    sign-fill bit.  The exact bit_count verify makes extra candidates
+    harmless, and pigeonhole recall is 1.0, so the pair set is identical
+    to the all-pairs formulation."""
+    nb = _CFG.simhash_hamming_max + 1
+    width, extra = 64 // nb, 64 % nb
+    blocks, pos = [], 0
+    for i in range(nb):
+        w = width + (1 if i < extra else 0)
+        blocks.append(f"{i << 56} | ((sh >> {pos}) & {(1 << w) - 1})")
+        pos += w
+    block_list = ", ".join(blocks)
     bigint = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
     bigint += " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
@@ -777,9 +794,13 @@ def _sql_simhash_dedup() -> str:
         sdvotes AS (SELECT doc_id, {_sql_simhash_votes()}
                     FROM sdtoks GROUP BY doc_id),
         sdsig AS (SELECT doc_id, ({bigint})::BIGINT AS sh FROM sdvotes),
+        sdblocks AS (
+          SELECT doc_id, sh, unnest([{block_list}]) AS bk FROM sdsig
+        ),
         sdedges AS (
-          SELECT a.doc_id AS src, b.doc_id AS dst
-          FROM sdsig a JOIN sdsig b ON a.doc_id < b.doc_id
+          SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM sdblocks a JOIN sdblocks b
+            ON a.bk = b.bk AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh, b.sh)) <= {_CFG.simhash_hamming_max}
         ),
         {_sql_cc('sdedges', 'sdcomp')}

@@ -349,16 +349,32 @@ def _edge_arrays(edge_list):
     Python; matches components.py's union-find path)."""
     import numpy as np
 
-    # ADVICE r5: a tuple of exactly 3 edge TRIPLES would satisfy a bare
-    # len==3 check and be silently misparsed as (u, v, w) arrays — take
-    # the array path only when the first element really is a 1-D
-    # array-like of scalars, and fall through to the triples path otherwise
-    if (isinstance(edge_list, tuple) and len(edge_list) == 3
-            and isinstance(edge_list[0], np.ndarray)
-            and edge_list[0].ndim == 1):
-        return (np.ascontiguousarray(edge_list[0], dtype=np.int64),
-                np.ascontiguousarray(edge_list[1], dtype=np.int64),
-                np.ascontiguousarray(edge_list[2], dtype=np.float64))
+    # ADVICE r5/r6: a tuple of exactly 3 edge TRIPLES would satisfy a bare
+    # len==3 check and be silently misparsed as (u, v, w) arrays, while a
+    # 3-tuple of plain COLUMN LISTS (valid under the original contract)
+    # must not fall through to the triples path.  Rule: any 3-tuple whose
+    # elements are all 1-D non-object array-likes is the array form —
+    # EXCEPT the genuinely ambiguous case (three non-ndarray sequences of
+    # length 3, which reads equally as 3 triples), which raises instead of
+    # silently picking a side.  ndarrays are always the array form.
+    if isinstance(edge_list, tuple) and len(edge_list) == 3:
+        def _col(x):
+            a = x if isinstance(x, np.ndarray) else (
+                np.asarray(x) if isinstance(x, (list, tuple)) else None)
+            return a if (a is not None and a.ndim == 1
+                         and a.dtype != object) else None
+        cols = [_col(x) for x in edge_list]
+        if all(c is not None for c in cols) and len(
+                {len(c) for c in cols}) == 1:
+            if (not any(isinstance(x, np.ndarray) for x in edge_list)
+                    and len(cols[0]) == 3):
+                raise ValueError(
+                    "ambiguous 3-tuple of three length-3 sequences: pass "
+                    "numpy arrays for the (u, v, w) column form, or a "
+                    "list (not tuple) of (u, v, w) edge triples")
+            return (np.ascontiguousarray(cols[0], dtype=np.int64),
+                    np.ascontiguousarray(cols[1], dtype=np.int64),
+                    np.ascontiguousarray(cols[2], dtype=np.float64))
     ne = len(edge_list)
     if ne == 0:
         z = np.zeros(0, dtype=np.int64)

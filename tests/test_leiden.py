@@ -342,26 +342,45 @@ def test_reference_array_entrypoint_equivalence():
 
 
 def test_edge_arrays_tuple_of_three_triples():
-    """ADVICE r5 regression: a TUPLE of exactly 3 edge triples must take
-    the triples path (it used to satisfy the bare len==3 check and be
-    silently misparsed as three (u, v, w) arrays, producing wrong
-    communities with no error)."""
+    """ADVICE r5 + r6 regression: a 3-tuple of three length-3 sequences is
+    GENUINELY ambiguous — as edge triples it means one graph, as (u, v, w)
+    column lists another — and both silent interpretations shipped a bug
+    (r5: misparsed as columns; r6's review: the r5 fix silently misparses
+    column LISTS as triples, the mirror image).  The only safe dispatch is
+    a loud error on that exact shape; every unambiguous form keeps its
+    meaning."""
     import numpy as np
+    import pytest
 
     from rabbittclust_spark.operators.leiden import _edge_arrays
 
-    eu, ev, dd = _edge_arrays(((1, 2, 0.5), (2, 3, 0.25), (3, 4, 0.75)))
+    # the ambiguous shape raises instead of guessing
+    with pytest.raises(ValueError, match="ambiguous"):
+        _edge_arrays(((1, 2, 0.5), (2, 3, 0.25), (3, 4, 0.75)))
+    # a LIST of triples (any count, including 3) is unambiguous
+    eu, ev, dd = _edge_arrays([(1, 2, 0.5), (2, 3, 0.25), (3, 4, 0.75)])
     assert eu.tolist() == [1, 2, 3]
     assert ev.tolist() == [2, 3, 4]
     assert dd.tolist() == [0.5, 0.25, 0.75]
-    # and the array fast path still dispatches
+    # the ndarray column fast path still dispatches (any length, even 3)
     au, av, ad = _edge_arrays((np.array([9, 8]), np.array([1, 2]),
                                np.array([0.1, 0.2])))
     assert au.tolist() == [9, 8] and ad.tolist() == [0.1, 0.2]
-    # tuple form == list form on a real graph
+    a3 = _edge_arrays((np.array([1, 2, 3]), np.array([2, 3, 4]),
+                       np.array([0.5, 0.25, 0.75])))
+    assert a3[0].tolist() == [1, 2, 3] and a3[2].tolist() == [0.5, 0.25, 0.75]
+    # ADVICE r6: plain COLUMN LISTS (the original contract) are the array
+    # form whenever unambiguous (common length != 3)
+    lu, lv, lw = _edge_arrays(([1, 2, 3, 4], [2, 3, 4, 5],
+                               [0.1, 0.2, 0.3, 0.4]))
+    assert lu.tolist() == [1, 2, 3, 4] and lw.tolist() == [0.1, 0.2, 0.3, 0.4]
+    # a tuple of MORE than 3 triples is unambiguous triples
+    t4 = _edge_arrays(((1, 2, 0.5), (2, 3, 0.25), (3, 4, 0.75), (4, 5, 0.1)))
+    assert t4[0].tolist() == [1, 2, 3, 4]
+    # tuple form == list form on a real graph (> 3 edges)
     edges = _planted_graph(seed=33)
-    assert (label_propagation_reference(tuple(edges[:3]))
-            == label_propagation_reference(list(edges[:3])))
+    assert (label_propagation_reference(tuple(edges))
+            == label_propagation_reference(list(edges)))
 
 
 def test_multilevel_zero_weight_graph(spark):

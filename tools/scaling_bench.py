@@ -299,8 +299,11 @@ def _sustained_work_mem(seconds: float) -> int:
     one (40k u64 = 320 KB, L2-resident).  Ceiling attribution per stage
     uses whichever probe matches the stage's byte/ALU profile."""
     import numpy as np
+    # dtype=np.uint8 up front (ADVICE r6): the default int64 draw would
+    # materialize a transient 512 MB array PER WORKER at probe start —
+    # n workers x 512 MB of allocation is itself a bandwidth/OOM hazard
     a = np.random.default_rng(1).integers(
-        0, 255, size=64 << 20).astype(np.uint8)
+        0, 255, size=64 << 20, dtype=np.uint8)
     t0 = time.time()
     iters = 0
     acc = 0
@@ -342,7 +345,11 @@ def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clusters", type=int, default=2000)
+    # default = the 2x corpus (~144.5k docs) where the N->4N criterion is
+    # met cleanly (r6: 4/4 pairs 0.867-0.972) — per-stage fixed costs
+    # amortize at this size; pass --clusters 6000 to reproduce the
+    # historical 72.5k-doc matrices (r4-r6 comparison)
+    ap.add_argument("--clusters", type=int, default=12000)
     ap.add_argument("--members", type=int, default=10)
     ap.add_argument("--min-tokens", type=int, default=1200)
     ap.add_argument("--max-tokens", type=int, default=6000)
