@@ -332,6 +332,26 @@ def _q_simhash_dedup_prod(spark, sf_dir):
     return simhash_dedup(_docs(spark, sf_dir), _CFG)
 
 
+def _q_substring_dedup_prod(spark, sf_dir):
+    """The PRODUCTION rolling-hash winnowing path (bench wall comparable
+    with the r1-r6 substring_dedup walls; the driver slot runs the
+    md5-token-winnow oracle variant through the same posting/CC plan)."""
+    from rabbittclust_spark.operators.substring import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), _CFG, window=20,
+                           min_containment=0.5)
+
+
+def _q_wminhash_pairs_prod(spark, sf_dir):
+    """The PRODUCTION ICWS weighted-MinHash path (never benched before r7,
+    so no historical wall breaks — kept benchable for the family's own
+    round-over-round signal now that the driver slot is the md5 variant)."""
+    from rabbittclust_spark.operators.dedup import wminhash_pairs
+
+    return wminhash_pairs(_docs(spark, sf_dir), _CFG, num_samples=64,
+                          min_wjaccard=0.2)
+
+
 # --- flagship oracle promotion (r7): md5-token bottom-s MinHash through the
 # PRODUCTION candidate/verify/threshold/CC path via the sketch_df hook, the
 # recipe proven on simhash_dedup in r6 --------------------------------------
@@ -1176,26 +1196,102 @@ def _q_token_containment_greedy(spark, sf_dir):
                     F.round(d, 6).alias("greedy_d"))
 
 
+WMH_ORACLE_S = 16   # positional samples for the wminhash oracle sketch
+
+
+def _md5_wminhash_sketch(spark, sf_dir):
+    """(doc_id, sig array<long>[WMH_ORACLE_S]) — positional md5 MinHash:
+    sig[p] = min over the doc's distinct tokens of the 60-bit prefix of
+    md5("p:token").  P[sig_A[p] == sig_B[p]] is exactly the token-set
+    Jaccard, so positional agreement estimates it just like the ICWS
+    signature estimates weighted Jaccard — and md5 is identical across
+    engines, so the DuckDB twin rebuilds the signatures bit-exactly."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .where(F.length("text") >= _CFG.min_len))
+    toks = base.select("doc_id", F.explode(F.array_distinct(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
+                             F.lit(0)))).alias("tok"))
+    keyed = toks.select("doc_id", F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(WMH_ORACLE_S - 1)),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", p.cast("string"), F.col("tok"))),
+                1, MH_HEX_PREFIX_LEN), 16, 10).cast("long").alias("k")),
+    )).alias("pk"))
+    mins = (keyed.select("doc_id", F.col("pk.pos").alias("pos"),
+                         F.col("pk.k").alias("k"))
+            .groupBy("doc_id", "pos").agg(F.min("k").alias("k")))
+    return (mins.groupBy("doc_id")
+            .agg(F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "k"))), lambda s: s["k"]).alias("sig")))
+
+
 def _q_wminhash_pairs(spark, sf_dir):
-    """Weighted MinHash (ICWS, Ioffe ICDM'10) similar pairs — the reference's
-    Sketch::WMinHash family (src/SketchInfo.cpp:130-141).  Rows-only: the
-    ICWS sampling is not SQL-expressible; its exact-weighted-Jaccard twin is
-    the numpy-oracle estimator-CI pytest in tests/test_minhash.py."""
+    """Weighted MinHash (ICWS, Ioffe ICDM'10) similar pairs — the
+    reference's Sketch::WMinHash family (src/SketchInfo.cpp:130-141) —
+    ORACLE-CHECKED end-to-end from r7: the PRODUCTION positional posting
+    join + hot-(pos,key) cap + star escalation + agreement aggregate +
+    estimate filter (operators/dedup.wminhash_pairs) runs over a
+    positional md5 MinHash supplied via the sketch_df hook (VERDICT r6
+    item 7: only the float ICWS sampling itself is SQL-hostile; it stays
+    gated by the exact-weighted-Jaccard estimator-CI pytest in
+    tests/test_minhash.py)."""
     from rabbittclust_spark.operators.dedup import wminhash_pairs
 
-    return wminhash_pairs(_docs(spark, sf_dir), _CFG, num_samples=64,
-                          min_wjaccard=0.2)
+    sk = _md5_wminhash_sketch(spark, sf_dir)
+    return wminhash_pairs(_docs(spark, sf_dir), _CFG,
+                          num_samples=WMH_ORACLE_S, min_wjaccard=0.2,
+                          sketch_df=sk)
+
+
+def _md5_winnow_fp_sketch(spark, sf_dir):
+    """(doc_id, len, n_fp, fp array<long>) — md5-token winnowing
+    fingerprints (Schleimer SIGMOD'03): distinct minima of the 60-bit md5
+    prefix over every full sliding window of TOKEN_WINNOW_W consecutive
+    tokens, exactly the oracle-green token_winnow sketch with hex swapped
+    for the BIGINT cast both engines share.  Docs with fewer than W tokens
+    have no window and drop out in BOTH engines."""
+    base = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .where(F.length("text") >= _CFG.min_len))
+    toks = base.select("doc_id", F.posexplode(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
+                             F.lit(0))).alias("pos", "tok"))
+    h = toks.select("doc_id", "pos", F.conv(
+        F.substring(F.md5("tok"), 1, MH_HEX_PREFIX_LEN), 16, 10)
+        .cast("long").alias("h"))
+    cnt = h.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.currentRow, TOKEN_WINNOW_W - 1)
+    fps = (h.withColumn("fp", F.min("h").over(w))
+           .join(cnt, "doc_id")
+           .where(F.col("pos") <= F.col("cnt") - TOKEN_WINNOW_W)
+           .select("doc_id", "fp").distinct())
+    sk = fps.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("fp")).alias("fp"))
+    return (sk.join(base.select("doc_id",
+                                F.length("text").cast("long").alias("len")),
+                    "doc_id")
+            .select("doc_id", "len", F.size("fp").alias("n_fp"), "fp"))
 
 
 def _q_substring_dedup(spark, sf_dir):
-    """Exact-substring dedup via winnowing fingerprints (Schleimer SIGMOD'03;
-    the north rule's third signature family; containment scoring per
-    src/MST.cpp:529-540).  Rows-only: the rolling-hash fingerprint is not
-    SQL-expressible; the numpy-oracle pytest is tests/test_substring.py."""
+    """Exact-substring dedup via winnowing fingerprints (Schleimer
+    SIGMOD'03; the north rule's third signature family; containment
+    scoring per src/MST.cpp:529-540) — ORACLE-CHECKED end-to-end from r7:
+    the PRODUCTION posting join + hot-fingerprint cap + shared-count bound
+    + containment threshold + connected components
+    (operators/substring.substring_pairs/substring_dedup) runs over
+    md5-token winnowing fingerprints via the sketch_df hook; only the
+    rolling-hash fingerprint itself is SQL-hostile and stays gated by the
+    numpy-oracle pytest in tests/test_substring.py."""
     from rabbittclust_spark.operators.substring import substring_dedup
 
-    return substring_dedup(_docs(spark, sf_dir), _CFG, window=20,
-                           min_containment=0.5)
+    sk = _md5_winnow_fp_sketch(spark, sf_dir)
+    return substring_dedup(_docs(spark, sf_dir), _CFG,
+                           min_containment=0.5, sketch_df=sk)
 
 
 def _q_distinct_token_counts(spark, sf_dir):
@@ -1837,6 +1933,84 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _sql_simhash_dedup(),
         "minhash_dedup": _sql_minhash_dedup(),
         "minhash_dedup_banded": _sql_minhash_dedup(banded=True),
+        # DuckDB twin of _q_wminhash_pairs: positional md5 MinHash (60-bit
+        # hex-prefix keys, identical to Spark's conv()), positional
+        # equi-join agreement, estimate filter on the UNROUNDED est (both
+        # engines; est is a multiple of 1/S so no boundary ULP risk)
+        "wminhash_pairs": f"""
+            WITH wmr AS (
+              SELECT doc_id, unnest(list_distinct(
+                         regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+              FROM documents WHERE length(text) >= {_CFG.min_len}
+            ),
+            wmk AS (
+              SELECT doc_id, i AS pos,
+                     ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+                                     1, {MH_HEX_PREFIX_LEN}))::BIGINT AS k
+              FROM wmr, (SELECT unnest(range(0, {WMH_ORACLE_S})) AS i)
+            ),
+            wmin AS (SELECT doc_id, pos, min(k) AS k
+                     FROM wmk GROUP BY doc_id, pos),
+            wpairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(count(*) AS BIGINT) AS agree
+              FROM wmin a JOIN wmin b
+                ON a.pos = b.pos AND a.k = b.k AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT src, dst, agree,
+                   round(agree / {float(WMH_ORACLE_S)!r}, 6) AS wjaccard_est
+            FROM wpairs WHERE agree / {float(WMH_ORACLE_S)!r} >= 0.2
+        """,
+        # DuckDB twin of _q_substring_dedup: md5-token winnowing
+        # fingerprints (the oracle-green token_winnow sketch, hex swapped
+        # for the shared BIGINT cast), the production shared-count bound
+        # (HAVING >= 2), the containment cut on the 6dp-ROUNDED score
+        # (production rounds before filtering too), recursive-CTE CC, and
+        # singleton attach over the fingerprinted-doc universe
+        "substring_dedup": f"""
+            WITH RECURSIVE ssr AS (
+              SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS l
+              FROM documents WHERE length(text) >= {_CFG.min_len}
+            ),
+            ssh AS (
+              SELECT doc_id, s.i - 1 AS pos,
+                     ('0x' || substr(md5(l[s.i]), 1, {MH_HEX_PREFIX_LEN}))::BIGINT AS h,
+                     len(l) AS cnt
+              FROM ssr, UNNEST(generate_series(1, len(l))) AS s(i)
+            ),
+            ssfp AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id, pos, cnt,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {TOKEN_WINNOW_W - 1} FOLLOWING) AS fp
+                FROM ssh
+              ) WHERE pos <= cnt - {TOKEN_WINNOW_W}
+            ),
+            sssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                     FROM ssfp GROUP BY doc_id),
+            sspairs AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM ssfp a JOIN ssfp b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ),
+            ssedges AS (
+              SELECT p.src, p.dst FROM sspairs p
+              JOIN sssz sa ON p.src = sa.doc_id
+              JOIN sssz sb ON p.dst = sb.doc_id
+              WHERE round(p.shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE),
+                          6) >= 0.5
+            ),
+            {_sql_cc('ssedges', 'sscomp')}
+            SELECT s.doc_id,
+                   coalesce(c.cluster_id, s.doc_id) AS cluster_id,
+                   (s.doc_id = coalesce(c.cluster_id, s.doc_id)) AS is_rep
+            FROM sssz s LEFT JOIN sscomp c ON s.doc_id = c.doc_id
+        """,
         "token_winnow": f"""
             WITH wtok AS (
               SELECT doc_id, source,
@@ -2338,4 +2512,6 @@ def production_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup_prod,
         "minhash_dedup_banded": _q_minhash_dedup_banded_prod,
         "simhash_dedup": _q_simhash_dedup_prod,
+        "substring_dedup": _q_substring_dedup_prod,
+        "wminhash_pairs": _q_wminhash_pairs_prod,
     }

@@ -90,14 +90,16 @@ def main() -> None:
                        dataclasses.replace(PipelineConfig(min_len=20),
                                            max_posting=1_000_000),
                        "warm")[0].count()
-    # r7: the driver-contract slots for the three dedup families now run
+    # r7: the driver-contract slots for the dedup families now run
     # md5-sketch ORACLE variants (DuckDB-checkable); the walls below bench
-    # the PRODUCTION rolling-shingle paths under the historical names so
-    # round-over-round comparisons stay valid (minhash_* comparable with
-    # r1-r6, simhash_dedup with r1-r5 — r6's simhash wall timed the oracle
-    # variant, now benched separately as simhash_dedup_oracle).
+    # the PRODUCTION rolling-shingle/rolling-hash/ICWS paths under the
+    # historical names so round-over-round comparisons stay valid
+    # (minhash_* comparable with r1-r6, simhash_dedup with r1-r5 — r6's
+    # simhash wall timed the oracle variant, now benched separately as
+    # simhash_dedup_oracle; substring_dedup comparable with r1-r6).
     qs.update({f"{k}_oracle": qs[k] for k in
-               ("minhash_dedup", "minhash_dedup_banded", "simhash_dedup")})
+               ("minhash_dedup", "minhash_dedup_banded", "simhash_dedup",
+                "substring_dedup")})
     qs.update(entrymod.production_queries())
     headline = [
         "minhash_dedup",          # flagship (probe mode — the scale default)
@@ -118,6 +120,7 @@ def main() -> None:
         "minhash_dedup_oracle",         # driver-slot md5-sketch variants,
         "minhash_dedup_banded_oracle",  # timed under their own names
         "simhash_dedup_oracle",         # (comparable with r6 simhash_dedup)
+        "substring_dedup_oracle",       # md5-token winnow driver slot (r7)
     ]
     # r5 methodology (VERDICT r4 item #1 + ADVICE): EVERY headline query
     # runs 3 load-gated times, not just the flagship.  8 of 14 single-run

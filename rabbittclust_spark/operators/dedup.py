@@ -321,18 +321,28 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
 
 def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
                    min_wjaccard: float = 0.2, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   sketch_df: DataFrame | None = None) -> DataFrame:
     """Weighted-MinHash similar pairs: (src, dst, agree, wjaccard_est).
 
     Positional posting join: explode (position, key) and equi-join — sig[p]
     collides iff the ICWS samples agree, so the group count estimates
     weighted Jaccard.  Same inverted-index shape as every other signature
-    family (skew handled identically)."""
+    family (skew handled identically).
+
+    ``sketch_df`` swaps in a precomputed (doc_id, sig array<long>) table
+    (sig length must equal num_samples) for the default ICWS kernel — the
+    positional-posting/cap/star/agree path is sample-agnostic, which is
+    what lets the driver oracle run this exact operator over an
+    SQL-expressible positional md5 MinHash (the sketch_df recipe of
+    minhash_dedup/simhash_edges) while production keeps ICWS."""
     from rabbittclust_spark.operators.sketch import sketch_wminhash
     from rabbittclust_spark.sources.tables import materialize as _mat
 
-    sk = _mat(sketch_wminhash(docs, cfg, num_samples=num_samples,
-                              id_col=id_col, text_col=text_col), "wminhash")
+    sk = _mat(sketch_df if sketch_df is not None
+              else sketch_wminhash(docs, cfg, num_samples=num_samples,
+                                   id_col=id_col, text_col=text_col),
+              "wminhash")
     post = sk.select("doc_id", F.posexplode("sig").alias("pos", "key"))
     # hot-(pos,key) cap: identical/boilerplate docs agree at EVERY position,
     # so one (pos, sample) group of p docs emits ~p^2/2 join rows.  The cap

@@ -88,22 +88,25 @@ def _g711_decode_table(law: str) -> np.ndarray:
     return val.astype(np.int16)
 
 
-def _wav_fmt_and_data(data: bytes) -> tuple[int, int, bytes]:
-    """(wFormatTag, nChannels, data-chunk bytes) from a RIFF/WAVE payload
-    via the shared _riff_chunks walk — used for the G.711 formats stdlib
-    wave refuses to open."""
+def _wav_fmt_and_data(data: bytes) -> tuple[int, int, int, bytes]:
+    """(wFormatTag, nChannels, wBitsPerSample, data-chunk bytes) from a
+    RIFF/WAVE payload via the shared _riff_chunks walk — used for the
+    formats stdlib wave refuses to open (G.711 and IEEE float)."""
     import struct
 
     fmt_code = nch = None
+    bits = 0
     body = None
     for cid, (b0, b1) in _riff_chunks(data, 12, len(data)):
         if cid == b"fmt " and b1 - b0 >= 4:
             fmt_code, nch = struct.unpack("<HH", data[b0:b0 + 4])
+            if b1 - b0 >= 16:
+                bits = struct.unpack("<H", data[b0 + 14:b0 + 16])[0]
         elif cid == b"data":
             body = data[b0:b1]
     if fmt_code is None or body is None:
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
-    return fmt_code, max(nch or 1, 1), body
+    return fmt_code, max(nch or 1, 1), bits, body
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
@@ -129,17 +132,26 @@ def decode_audio(payload: bytes) -> np.ndarray:
     except wave.Error as exc:
         # stdlib wave only opens integer PCM; G.711 companded WAVs
         # (wFormatTag 6 = A-law, 7 = mu-law) decode here via the numpy
-        # expansion tables; everything else (IEEE-float, ADPCM, ...) stays
+        # expansion tables and IEEE-float WAVs (wFormatTag 3) via a plain
+        # frombuffer + clip; everything else (ADPCM, mp3/ogg/flac) stays
         # an honest refusal with ONE strict-mode exception type (ADVICE r5)
-        fmt_code, nch, body = _wav_fmt_and_data(bytes(payload))
+        fmt_code, nch, bits, body = _wav_fmt_and_data(bytes(payload))
         if fmt_code in (6, 7):
             table = _g711_decode_table("alaw" if fmt_code == 6 else "ulaw")
             x = table[np.frombuffer(body, dtype=np.uint8)].astype(
                 np.float32) / 32768.0
             return x[: (len(x) // nch) * nch].reshape(-1, nch)
+        if fmt_code == 3 and bits in (32, 64):
+            # IEEE-float WAV: samples are already nominal [-1, 1] floats;
+            # the format permits overs, so clip to keep the contract
+            x = np.frombuffer(body[: len(body) - len(body) % (bits // 8)],
+                              dtype="<f4" if bits == 32 else "<f8")
+            x = np.clip(x.astype(np.float32), -1.0, 1.0)
+            return x[: (len(x) // nch) * nch].reshape(-1, nch)
         raise NotImplementedError(
-            f"WAV format tag {fmt_code} not decodable here (stdlib wave "
-            f"covers integer PCM; numpy tables cover G.711): {exc}") from exc
+            f"WAV format tag {fmt_code} (bits={bits}) not decodable here "
+            f"(stdlib wave covers integer PCM; numpy covers G.711 and "
+            f"IEEE float): {exc}") from exc
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

@@ -82,15 +82,26 @@ def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
 
 def substring_dedup(docs: DataFrame, cfg: PipelineConfig, window: int = 50,
                     min_containment: float = 0.5,
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    sketch_df: DataFrame | None = None) -> DataFrame:
     """Exact-substring dedup assignments: docs whose fingerprint containment
-    >= min_containment are grouped (doc_id, cluster_id, is_rep)."""
+    >= min_containment are grouped (doc_id, cluster_id, is_rep).
+
+    ``sketch_df`` swaps in a precomputed (doc_id, len, n_fp, fp
+    array<long>) fingerprint table for the default rolling-hash winnowing
+    kernel (``window`` is then unused) — the posting-join/cap/containment/
+    CC path is fingerprint-agnostic, which is what lets the driver oracle
+    run this exact operator over SQL-expressible md5-token winnowing
+    fingerprints (the sketch_df recipe of minhash_dedup/simhash_edges)
+    while production keeps the rolling hash."""
     from rabbittclust_spark.operators.components import connected_components
     from rabbittclust_spark.operators.postprocess import assignments_from_components
     from rabbittclust_spark.sources.tables import materialize
 
-    fp = materialize(sketch_winnow(docs, cfg, window=window,
-                                   id_col=id_col, text_col=text_col), "winnow")
+    fp = materialize(sketch_df if sketch_df is not None
+                     else sketch_winnow(docs, cfg, window=window,
+                                        id_col=id_col, text_col=text_col),
+                     "winnow")
     pairs = substring_pairs(fp, cfg, min_containment=min_containment)
     membership = connected_components(pairs)
     return assignments_from_components(fp.select("doc_id"), membership)

@@ -114,13 +114,14 @@ def test_decode_audio_wav_roundtrip():
 
 
 def _write_g711_wav(codes: bytes, fmt_code: int, nch: int = 1,
-                    sr: int = 8000) -> bytes:
-    """Minimal RIFF writer for G.711 WAVs (wFormatTag 6 = A-law,
-    7 = mu-law) — stdlib wave refuses to WRITE these too, so the test
-    brings its own container, mirroring _write_avi."""
+                    sr: int = 8000, bits: int = 8) -> bytes:
+    """Minimal RIFF writer for non-integer-PCM WAVs (wFormatTag 6 = A-law,
+    7 = mu-law, 3 = IEEE float) — stdlib wave refuses to WRITE these too,
+    so the test brings its own container, mirroring _write_avi."""
     import struct
 
-    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr, sr * nch, nch, 8)
+    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr,
+                      sr * nch * (bits // 8), nch * (bits // 8), bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(codes)) + codes
@@ -157,10 +158,56 @@ def test_decode_audio_g711():
     assert (np.diff(tab[:128].astype(np.int64)) >= 0).all()
     assert tab.min() >= -32768 and tab.max() <= 32767
 
-    # IEEE-float WAV (fmt tag 3): still an honest refusal, with the
-    # NotImplementedError type (not a leaked wave.Error — ADVICE r5)
+    # a fmt-3 container whose bits field is NOT a float width (8 here)
+    # stays an honest refusal, with the NotImplementedError type (not a
+    # leaked wave.Error — ADVICE r5); real IEEE-float WAVs (bits 32/64)
+    # decode in test_decode_audio_ieee_float
     with pytest.raises(NotImplementedError):
         mm.decode_audio(_write_g711_wav(b"\x00\x00\x00\x00", 3))
+
+
+def test_decode_audio_ieee_float():
+    """IEEE-float WAVs (wFormatTag 3, r7) decode via frombuffer + clip:
+    32-bit ramp round-trips bit-exactly, overs clip to +-1 (the format
+    permits them), stereo deinterleaves, and the 64-bit variant decodes
+    through the same path."""
+    import struct
+
+    import numpy as np
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    ramp = np.array([-1.0, -0.5, 0.0, 0.25, 1.0], dtype=np.float32)
+    out = mm.decode_audio(_write_g711_wav(ramp.tobytes(), 3, bits=32))
+    assert out.shape == (5, 1) and out.dtype == np.float32
+    assert np.array_equal(out[:, 0], ramp)
+
+    # overs clip (1.5 -> 1.0, -2.0 -> -1.0)
+    overs = np.array([1.5, -2.0, 0.5], dtype=np.float32)
+    got = mm.decode_audio(_write_g711_wav(overs.tobytes(), 3, bits=32))
+    assert np.array_equal(got[:, 0], [1.0, -1.0, 0.5])
+
+    # stereo LRLR deinterleave
+    st = np.array([0.1, -0.1, 0.2, -0.2], dtype=np.float32)
+    got = mm.decode_audio(_write_g711_wav(st.tobytes(), 3, nch=2, bits=32))
+    assert got.shape == (2, 2)
+    assert np.allclose(got[:, 0], [0.1, 0.2])
+    assert np.allclose(got[:, 1], [-0.1, -0.2])
+
+    # 64-bit floats narrow to float32 through the same path
+    d = np.array([-0.75, 0.75], dtype=np.float64)
+    got = mm.decode_audio(_write_g711_wav(d.tobytes(), 3, bits=64))
+    assert got.dtype == np.float32 and np.allclose(got[:, 0], [-0.75, 0.75])
+
+    # a truncated payload (dangling half-sample) drops the tail instead
+    # of raising in frombuffer
+    got = mm.decode_audio(
+        _write_g711_wav(ramp.tobytes() + b"\x00\x01", 3, bits=32))
+    assert got.shape == (5, 1)
+
+    # ADPCM (tag 2) is still the honest refusal
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00" * 8, 2, bits=4))
 
 
 def _write_avi(frames, rate=25):
