@@ -1357,6 +1357,23 @@ def _q_multimodal_features(spark, sf_dir):
              F.round(F.col("value").cast("double"), 6).alias("value"))
 
 
+def _q_multimodal_hist(spark, sf_dir):
+    """Binary-column byte histogram through the PRODUCTION Arrow-batched
+    mapInPandas plumbing (operators/multimodal.byte_histogram) — the
+    integer-exact twin that lets the driver value-check the binary path
+    end-to-end while multimodal_features (seeded-gaussian projection)
+    stays rows-only with a documented reason."""
+    from pyspark.sql import functions as F
+
+    from rabbittclust_spark.operators.multimodal import byte_histogram
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"))
+    return byte_histogram(media).select(
+        "doc_id", "kind", "byte", F.col("n").alias("n_bytes"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # scans / filters / stats (SURVEY.md §2.1-2.2)
@@ -1390,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_candidates": _q_threshold_candidates,
         "threshold_stability": _q_threshold_stability,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_hist": _q_multimodal_hist,
         "dbscan": _q_dbscan,
         "noise_removal": _q_noise_removal,
         "label_propagation": _q_label_propagation,
@@ -2010,6 +2028,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.cluster_id, s.doc_id) AS cluster_id,
                    (s.doc_id = coalesce(c.cluster_id, s.doc_id)) AS is_rep
             FROM sssz s LEFT JOIN sscomp c ON s.doc_id = c.doc_id
+        """,
+        # DuckDB twin of _q_multimodal_hist: the utf-8 payload's bytes are
+        # the 2-hex-char slices of hex(encode(text)) — integer counts, so
+        # the binary mapInPandas path is value-checked with zero float risk
+        "multimodal_hist": """
+            WITH mmh AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            ),
+            mmb AS (
+              SELECT doc_id,
+                     ('0x' || substr(hx, 2 * t.i + 1, 2))::INT AS byte
+              FROM mmh, UNNEST(range(nb)) AS t(i)
+            )
+            SELECT doc_id, 'text' AS kind, byte,
+                   CAST(count(*) AS BIGINT) AS n_bytes
+            FROM mmb GROUP BY 1, 3
         """,
         "token_winnow": f"""
             WITH wtok AS (

@@ -342,6 +342,50 @@ def extract_features(media: DataFrame, strict: bool = False,
         compute, schema=FEATURE_SCHEMA)
 
 
+HIST_SCHEMA = "doc_id long, kind string, byte int, n long"
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """Per-payload byte histogram: (doc_id, kind, byte, n) for every byte
+    value present in the payload.
+
+    Runs through the SAME Arrow-batched binary mapInPandas plumbing as
+    extract_features (narrow map, no shuffle, iterator form) but emits
+    integer-exact output — which is what lets the driver's DuckDB oracle
+    value-check the binary-column path end-to-end (hex(blob) 2-char slices
+    rebuild the identical counts in SQL), while the projection feature
+    itself stays rows-only (a seeded gaussian matrix is not
+    SQL-expressible).  Empty/NULL payloads emit no rows in both engines."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            kinds: list = []
+            bytes_: list = []
+            ns: list = []
+            for did, kind, payload in zip(pdf["doc_id"], pdf["kind"],
+                                          pdf["payload"]):
+                buf = np.frombuffer(
+                    bytes(payload) if payload is not None else b"",
+                    dtype=np.uint8)
+                if buf.size == 0:
+                    continue
+                counts = np.bincount(buf, minlength=256)
+                nz = np.nonzero(counts)[0]
+                ids.extend([did] * len(nz))
+                kinds.extend([kind] * len(nz))
+                bytes_.extend(nz.tolist())
+                ns.extend(counts[nz].tolist())
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "kind": pd.array(kinds, dtype="object"),
+                "byte": np.asarray(bytes_, dtype=np.int32),
+                "n": np.asarray(ns, dtype=np.int64)})
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        compute, schema=HIST_SCHEMA)
+
+
 def resize_metadata(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Pure-relational resize planning (no decode): compute target dims from
     metadata, preserving aspect ratio — demonstrates typed-metadata columns.

@@ -51,6 +51,31 @@ def test_strict_mode_raises(spark):
             decode_image(b"x")
 
 
+def test_byte_histogram_exact(spark):
+    """byte_histogram (r7) matches collections.Counter per payload, emits
+    nothing for empty/NULL payloads, and carries exact integer counts
+    through the Arrow binary path (the property the DuckDB oracle relies
+    on for multimodal_hist)."""
+    from collections import Counter
+
+    from rabbittclust_spark.operators.multimodal import byte_histogram
+
+    payloads = {1: b"\x89PNG fake bytes 1", 2: b"\x00\x00\xff\xff\x00",
+                3: "héllo wörld".encode(), 4: b"", 5: None}
+    m = spark.createDataFrame(
+        [(d, "blob", p) for d, p in payloads.items()],
+        "doc_id long, kind string, payload binary")
+    rows = byte_histogram(m).collect()
+    got = {}
+    for r in rows:
+        assert r.kind == "blob"
+        got.setdefault(r.doc_id, {})[r.byte] = r.n
+    assert set(got) == {1, 2, 3}        # empty and NULL emit no rows
+    for d in got:
+        want = Counter(payloads[d])
+        assert got[d] == dict(want)
+
+
 def test_resize_metadata(spark):
     m = _media(spark)
     t = {r.doc_id: (r.target.width, r.target.height)
