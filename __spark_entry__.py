@@ -369,7 +369,17 @@ def _mh_oracle_cfg(banded: bool = False) -> PipelineConfig:
     import dataclasses
     cfg = dataclasses.replace(_CFG, mash_k=TOKEN_MASH_K)
     if banded:
-        cfg = dataclasses.replace(cfg, pair_mode="banded")
+        # max_posting 512 (production default 2000): the md5-TOKEN sketch's
+        # bottom entries are corpus-common tokens, so sorted-sig bands form
+        # 1000-1800-doc junk groups that sit under the default cap and emit
+        # ~4M exact-verify candidates at sf0.1 (19 s wall, measured r7).
+        # The tighter cap escalates them to O(p) anchor-stars — the guard
+        # built for exactly this skew.  At the sf0.01 driver-gate scale the
+        # largest band group is ~400, so the cap never fires there and the
+        # full-band-join DuckDB twin stays an exact match.  The production
+        # shingle-space banded path (astronomically larger key space, no
+        # corpus-common bottom hashes) keeps the 2000 default.
+        cfg = dataclasses.replace(cfg, pair_mode="banded", max_posting=512)
     return cfg
 
 
