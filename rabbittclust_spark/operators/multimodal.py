@@ -88,33 +88,101 @@ def _g711_decode_table(law: str) -> np.ndarray:
     return val.astype(np.int16)
 
 
-def _wav_fmt_and_data(data: bytes) -> tuple[int, int, int, bytes]:
-    """(wFormatTag, nChannels, wBitsPerSample, data-chunk bytes) from a
-    RIFF/WAVE payload via the shared _riff_chunks walk — used for the
-    formats stdlib wave refuses to open (G.711 and IEEE float)."""
+def _wav_fmt_and_data(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """(wFormatTag, nChannels, wBitsPerSample, nBlockAlign, data-chunk
+    bytes) from a RIFF/WAVE payload via the shared _riff_chunks walk —
+    used for the formats stdlib wave refuses to open (G.711, IEEE float,
+    IMA ADPCM)."""
     import struct
 
     fmt_code = nch = None
-    bits = 0
+    bits = block_align = 0
     body = None
     for cid, (b0, b1) in _riff_chunks(data, 12, len(data)):
         if cid == b"fmt " and b1 - b0 >= 4:
             fmt_code, nch = struct.unpack("<HH", data[b0:b0 + 4])
             if b1 - b0 >= 16:
-                bits = struct.unpack("<H", data[b0 + 14:b0 + 16])[0]
+                block_align, bits = struct.unpack("<HH", data[b0 + 12:b0 + 16])
         elif cid == b"data":
             body = data[b0:b1]
     if fmt_code is None or body is None:
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
-    return fmt_code, max(nch or 1, 1), bits, body
+    return fmt_code, max(nch or 1, 1), bits, block_align, body
+
+
+# IMA/DVI ADPCM (WAV wFormatTag 0x11) quantizer tables — the published
+# IMA "Recommended Practices for Enhancing Digital Audio Compatibility"
+# step-size and index-adjust tables (also in RFC 3551 §4.5.1 and the
+# Microsoft multimedia registration of format tag 0x0011).
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+
+def _ima_adpcm_decode(body: bytes, nch: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM WAV data to int16, shape (frames, channels).
+
+    The nibble stream is inherently sequential WITHIN a block (predictor
+    feedback), but blocks are independent, so the loop below runs once per
+    sample POSITION and decodes every (block, channel) lane at once as a
+    numpy array — the same across-independent-units vectorization used by
+    the rolling-hash shingler in functions/hashing.py.
+
+    Block layout (per the IMA recommended practices / tag-0x11 WAV spec):
+    a 4-byte header per channel (int16 predictor = the block's first
+    output sample, uint8 step index, reserved byte), then the nibble data
+    in 4-byte words per channel, channels interleaved word-by-word; low
+    nibble of each byte first."""
+    if block_align < 4 * nch or block_align % 4:
+        raise NotImplementedError(
+            f"IMA ADPCM block align {block_align} invalid for {nch}ch")
+    data = np.frombuffer(body, dtype=np.uint8)
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        raise NotImplementedError("IMA ADPCM data shorter than one block")
+    blocks = data[: nblocks * block_align].reshape(nblocks, block_align)
+
+    hdr = blocks[:, : 4 * nch].reshape(nblocks, nch, 4).astype(np.int32)
+    pred = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int16).astype(np.int32)
+    idx = np.clip(hdr[:, :, 2], 0, 88)
+
+    ngroups = (block_align - 4 * nch) // (4 * nch)
+    words = blocks[:, 4 * nch:4 * nch + ngroups * 4 * nch].reshape(
+        nblocks, ngroups, nch, 4)
+    # (nblocks, ngroups, nch, 4 bytes, 2 nibbles) -> sample-ordered lanes
+    nibs = np.stack([words & 0x0F, words >> 4], axis=-1).reshape(
+        nblocks, ngroups, nch, 8).transpose(0, 1, 3, 2).reshape(
+        nblocks, ngroups * 8, nch)
+
+    samples_per_block = 1 + ngroups * 8
+    out = np.empty((nblocks, samples_per_block, nch), dtype=np.int16)
+    out[:, 0, :] = pred.astype(np.int16)
+    for s in range(ngroups * 8):
+        nib = nibs[:, s, :].astype(np.int32)
+        step = _IMA_STEP_TABLE[idx]
+        diff = (step >> 3) + np.where(nib & 1, step >> 2, 0) \
+            + np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+        pred = np.clip(np.where(nib & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[nib], 0, 88)
+        out[:, s + 1, :] = pred.astype(np.int16)
+    return out.reshape(nblocks * samples_per_block, nch)
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
     """Decode WAV to float32 samples in [-1, 1], shape (frames, channels)
-    — REAL via stdlib ``wave`` + numpy for 8/16/32-bit integer PCM, and
-    via the numpy G.711 expansion tables for mu-law/A-law WAVs (wFormatTag
-    7/6, which stdlib wave refuses).  Everything else (IEEE-float WAV,
-    ADPCM, mp3/ogg/flac) raises the honest NotImplementedError — ONE
+    — REAL via stdlib ``wave`` + numpy for 8/16/32-bit integer PCM, via
+    the numpy G.711 expansion tables for mu-law/A-law WAVs (wFormatTag
+    7/6, which stdlib wave refuses), via frombuffer + clip for IEEE-float
+    WAVs (tag 3), and via the block-vectorized IMA quantizer for IMA/DVI
+    ADPCM WAVs (tag 0x11).  Everything else (MS ADPCM tag 2,
+    mp3/ogg/flac) raises the honest NotImplementedError — ONE
     strict-mode exception type (wave.Error is re-raised, ADVICE r5);
     callers in non-strict mode fall back to the deterministic fake feature
     either way."""
@@ -132,10 +200,13 @@ def decode_audio(payload: bytes) -> np.ndarray:
     except wave.Error as exc:
         # stdlib wave only opens integer PCM; G.711 companded WAVs
         # (wFormatTag 6 = A-law, 7 = mu-law) decode here via the numpy
-        # expansion tables and IEEE-float WAVs (wFormatTag 3) via a plain
-        # frombuffer + clip; everything else (ADPCM, mp3/ogg/flac) stays
-        # an honest refusal with ONE strict-mode exception type (ADVICE r5)
-        fmt_code, nch, bits, body = _wav_fmt_and_data(bytes(payload))
+        # expansion tables, IEEE-float WAVs (wFormatTag 3) via a plain
+        # frombuffer + clip, and IMA/DVI ADPCM (wFormatTag 0x11) via the
+        # block-vectorized quantizer; everything else (MS ADPCM,
+        # mp3/ogg/flac) stays an honest refusal with ONE strict-mode
+        # exception type (ADVICE r5)
+        fmt_code, nch, bits, block_align, body = _wav_fmt_and_data(
+            bytes(payload))
         if fmt_code in (6, 7):
             table = _g711_decode_table("alaw" if fmt_code == 6 else "ulaw")
             x = table[np.frombuffer(body, dtype=np.uint8)].astype(
@@ -148,10 +219,13 @@ def decode_audio(payload: bytes) -> np.ndarray:
                               dtype="<f4" if bits == 32 else "<f8")
             x = np.clip(x.astype(np.float32), -1.0, 1.0)
             return x[: (len(x) // nch) * nch].reshape(-1, nch)
+        if fmt_code == 0x11 and bits == 4:
+            return (_ima_adpcm_decode(body, nch, block_align)
+                    .astype(np.float32) / 32768.0)
         raise NotImplementedError(
             f"WAV format tag {fmt_code} (bits={bits}) not decodable here "
-            f"(stdlib wave covers integer PCM; numpy covers G.711 and "
-            f"IEEE float): {exc}") from exc
+            f"(stdlib wave covers integer PCM; numpy covers G.711, "
+            f"IEEE float, and IMA ADPCM): {exc}") from exc
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

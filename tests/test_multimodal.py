@@ -139,14 +139,17 @@ def test_decode_audio_wav_roundtrip():
 
 
 def _write_g711_wav(codes: bytes, fmt_code: int, nch: int = 1,
-                    sr: int = 8000, bits: int = 8) -> bytes:
+                    sr: int = 8000, bits: int = 8,
+                    block_align: int | None = None) -> bytes:
     """Minimal RIFF writer for non-integer-PCM WAVs (wFormatTag 6 = A-law,
-    7 = mu-law, 3 = IEEE float) — stdlib wave refuses to WRITE these too,
-    so the test brings its own container, mirroring _write_avi."""
+    7 = mu-law, 3 = IEEE float, 0x11 = IMA ADPCM) — stdlib wave refuses to
+    WRITE these too, so the test brings its own container, mirroring
+    _write_avi."""
     import struct
 
+    ba = nch * (bits // 8) if block_align is None else block_align
     fmt = struct.pack("<HHIIHH", fmt_code, nch, sr,
-                      sr * nch * (bits // 8), nch * (bits // 8), bits)
+                      sr * nch * max(bits // 8, 1), ba, bits)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(codes)) + codes
@@ -230,9 +233,114 @@ def test_decode_audio_ieee_float():
         _write_g711_wav(ramp.tobytes() + b"\x00\x01", 3, bits=32))
     assert got.shape == (5, 1)
 
-    # ADPCM (tag 2) is still the honest refusal
+    # MS ADPCM (tag 2) is still the honest refusal
     with pytest.raises(NotImplementedError):
         mm.decode_audio(_write_g711_wav(b"\x00" * 8, 2, bits=4))
+
+
+def _ima_encode(channels, block_align):
+    """Reference IMA ADPCM encoder (quantize-then-mirror-the-decoder, per
+    the published IMA recommended practices): returns (data bytes, the
+    encoder's own decoded predictions per channel) — the predictions are
+    what a spec-conforming decoder must reproduce EXACTLY."""
+    import struct
+
+    import numpy as np
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    nch = len(channels)
+    spb = 1 + (block_align - 4 * nch) * 2 // nch  # samples/block/channel
+    nblocks = len(channels[0]) // spb
+    idx = [0] * nch
+    out = b""
+    decoded = [[] for _ in range(nch)]
+    for b in range(nblocks):
+        nibs = [[] for _ in range(nch)]
+        for c in range(nch):
+            block = channels[c][b * spb:(b + 1) * spb]
+            pred = int(block[0])
+            out += struct.pack("<hBB", pred, idx[c], 0)  # headers first,
+            decoded[c].append(pred)                      # one per channel
+            for s in block[1:]:
+                step = int(mm._IMA_STEP_TABLE[idx[c]])
+                diff = int(s) - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+                    + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+                pred = max(-32768, min(32767, pred - d if nib & 8 else pred + d))
+                idx[c] = max(0, min(88, idx[c] + int(mm._IMA_INDEX_TABLE[nib])))
+                nibs[c].append(nib)
+                decoded[c].append(pred)
+        # data: 4-byte words per channel, channels interleaved per word
+        for g in range(len(nibs[0]) // 8):
+            for c in range(nch):
+                w = nibs[c][g * 8:(g + 1) * 8]
+                out += bytes(w[i] | (w[i + 1] << 4) for i in range(0, 8, 2))
+    return out, [np.array(d, dtype=np.int16) for d in decoded]
+
+
+def test_decode_audio_ima_adpcm():
+    """IMA/DVI ADPCM WAVs (wFormatTag 0x11, r7) decode via the
+    block-vectorized numpy quantizer: the decoder must reproduce the
+    reference encoder's internal predictions EXACTLY (both mirror the same
+    published state machine), track a smooth waveform within quantization
+    error, deinterleave stereo, and keep honest refusals for malformed
+    block aligns."""
+    import numpy as np
+    import pytest
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    # mono, 2 blocks of block_align=12 -> 17 samples per block
+    t = np.arange(34, dtype=np.float64)
+    sine = (3000 * np.sin(t / 3.0)).astype(np.int16)
+    data, ref = _ima_encode([sine], block_align=12)
+    out = mm.decode_audio(_write_g711_wav(data, 0x11, bits=4, block_align=12))
+    assert out.shape == (34, 1) and out.dtype == np.float32
+    got = np.round(out[:, 0] * 32768.0).astype(np.int16)
+    assert np.array_equal(got, ref[0])          # exact vs the state machine
+    # with initial step index 0 the quantizer spends the first samples
+    # ramping its step size up (adaptation lag is inherent to ADPCM), so
+    # tracking accuracy is asserted on the adapted tail
+    tail = np.abs(got[-10:].astype(np.int32) - sine[-10:].astype(np.int32))
+    assert tail.max() < 400
+
+    # stereo: 4-byte words interleave per channel within each block
+    left = (2000 * np.sin(t[:18] / 2.5)).astype(np.int16)
+    right = (-1500 * np.cos(t[:18] / 4.0)).astype(np.int16)
+    data, ref = _ima_encode([left, right], block_align=16)  # 9 frames/block
+    out = mm.decode_audio(
+        _write_g711_wav(data, 0x11, nch=2, bits=4, block_align=16))
+    assert out.shape == (18, 2)
+    assert np.array_equal(
+        np.round(out[:, 0] * 32768.0).astype(np.int16), ref[0])
+    assert np.array_equal(
+        np.round(out[:, 1] * 32768.0).astype(np.int16), ref[1])
+
+    # a trailing partial block is dropped, not misparsed
+    out = mm.decode_audio(
+        _write_g711_wav(data + b"\x01\x02", 0x11, nch=2, bits=4,
+                        block_align=16))
+    assert out.shape == (18, 2)
+
+    # malformed block align (not room for the per-channel headers, or
+    # data shorter than one block) refuses with the single strict-mode type
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00" * 16, 0x11, nch=2, bits=4,
+                                        block_align=6))
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00" * 8, 0x11, bits=4,
+                                        block_align=12))
 
 
 def _write_avi(frames, rate=25):
