@@ -443,15 +443,25 @@ def test_strict_features_use_decoded_content(spark):
               for _ in range(3)]
     avi = _write_avi(frames, rate=25)
 
+    # the same tone as IMA ADPCM (17 samples per block_align=12 block)
+    adpcm_pcm = (np.sin(2 * np.pi * 330 * np.arange(17 * 94) / sr)
+                 * 20000).astype(np.int16)
+    adpcm_data, _ = _ima_encode([adpcm_pcm], block_align=12)
+    adpcm = _write_g711_wav(adpcm_data, 0x11, bits=4, block_align=12, sr=sr)
+
     media = spark.createDataFrame(
         [(1, "audio", bytearray(wav), (None, None, sr, n * 1000 // sr)),
-         (2, "video", bytearray(avi), (8, 6, None, 120))],
+         (2, "video", bytearray(avi), (8, 6, None, 120)),
+         (3, "audio", bytearray(adpcm), (None, None, sr, None))],
         schema=mm.MEDIA_SCHEMA)
     feats = {r.doc_id: np.array(r.feature, np.float32)
              for r in mm.extract_features(media, strict=True).collect()}
 
     want_audio = mm._audio_feature(mm.decode_audio(wav))
     assert np.allclose(feats[1], want_audio, atol=1e-6)
+    want_adpcm = mm._audio_feature(mm.decode_audio(adpcm))
+    assert np.allclose(feats[3], want_adpcm, atol=1e-6)
+    assert not np.allclose(feats[3], mm._fake_feature(adpcm), atol=1e-3)
     sampled = mm.sample_video_frames(avi)  # default 1000 ms -> frame 0 only
     assert len(sampled) == 1 and (sampled[0] == frames[0]).all()
     pooled = np.mean([mm._pool_image_feature(f) for f in sampled], axis=0)
