@@ -362,6 +362,21 @@ MH_HEX_PREFIX_LEN = 15    # 60-bit hex-prefix truncation: fixed-width hex
                           # both engines cast it identically
 
 
+def _oracle_cap_cfg(cfg: PipelineConfig) -> PipelineConfig:
+    """Arm strict_no_cap on an oracle-slot config under the correctness
+    harness (ADVICE r7 #1): the md5-sketch driver slots' DuckDB twins have
+    no posting cap (the banded one narrows it to 512), so their equivalence
+    rests on the measured claim that no cap fires at driver-gate scale.
+    This turns that claim into an executable guard — a future hot key makes
+    the gate fail with an attributable cap-fired RuntimeError instead of a
+    value-hash mismatch.  Gated by the same RTC_UNROLL_GUARD env the LPA
+    fixed-point guards use, so benched `*_oracle` walls at sf0.1 (where the
+    banded md5-token cap legitimately fires and star-escalates) keep their
+    r7-comparable capped behavior."""
+    import dataclasses
+    return dataclasses.replace(cfg, strict_no_cap=_unroll_guard_enabled())
+
+
 def _mh_oracle_cfg(banded: bool = False) -> PipelineConfig:
     """The oracle variant's config: production defaults with mash_k pinned
     to the token oracles' k (the distance formula is applied to md5-token
@@ -380,7 +395,7 @@ def _mh_oracle_cfg(banded: bool = False) -> PipelineConfig:
         # shingle-space banded path (astronomically larger key space, no
         # corpus-common bottom hashes) keeps the 2000 default.
         cfg = dataclasses.replace(cfg, pair_mode="banded", max_posting=512)
-    return cfg
+    return _oracle_cap_cfg(cfg)
 
 
 def _md5_minhash_sketch(spark, sf_dir, banded: bool = False):
@@ -527,15 +542,26 @@ def _q_token_cluster_stats(spark, sf_dir):
 
 def _q_token_containment(spark, sf_dir):
     """Containment/AAF distance (src/MST.cpp:529-540) over token pairs —
-    the SQL-expressible twin of the FracMinHash containment path."""
-    from rabbittclust_spark.functions.distances import containment_distance_expr
+    the SQL-expressible twin of the FracMinHash containment path.
+
+    r8: also emits the greedy path's containment VARIANT
+    -(1/k)*ln(2c/(1+c)) (src/greedy.cpp:1245-1259, 2771-2788) as
+    ``greedy_d`` — folded in from the retired ``token_containment_greedy``
+    slot so the driver's 50-entry contract file has room for
+    embedding_neardup_lsh (VERDICT r7 task #5); both distance variants stay
+    oracle-checked in this one query."""
+    from rabbittclust_spark.functions.distances import (
+        containment_distance_expr, greedy_containment_distance_expr)
     p = _token_pairs(spark, sf_dir)
     c = F.col("common") / F.least("n1", "n2")
     d = containment_distance_expr(F.col("common"), F.col("n1"), F.col("n2"),
                                   TOKEN_MASH_K)
+    g = greedy_containment_distance_expr(F.col("common"), F.col("n1"),
+                                         F.col("n2"), TOKEN_MASH_K)
     return p.select("src", "dst", "common",
                     F.round(c, 6).alias("containment"),
-                    F.round(d, 6).alias("aaf_d"))
+                    F.round(d, 6).alias("aaf_d"),
+                    F.round(g, 6).alias("greedy_d"))
 
 
 def _q_fracminhash_containment(spark, sf_dir):
@@ -1191,21 +1217,6 @@ def _q_repdb_stats(spark, sf_dir):
     return repdb_stats(a, doc_lens)
 
 
-def _q_token_containment_greedy(spark, sf_dir):
-    """The greedy path's containment VARIANT -(1/k)*ln(2c/(1+c))
-    (src/greedy.cpp:1245-1259, 2771-2788) over token pairs — the
-    SQL-expressible twin of cfg.containment_variant='greedy'."""
-    from rabbittclust_spark.functions.distances import greedy_containment_distance_expr
-
-    p = _token_pairs(spark, sf_dir)
-    c = F.col("common") / F.least("n1", "n2")
-    d = greedy_containment_distance_expr(F.col("common"), F.col("n1"),
-                                         F.col("n2"), TOKEN_MASH_K)
-    return p.select("src", "dst", "common",
-                    F.round(c, 6).alias("containment"),
-                    F.round(d, 6).alias("greedy_d"))
-
-
 WMH_ORACLE_S = 16   # positional samples for the wminhash oracle sketch
 
 
@@ -1251,7 +1262,7 @@ def _q_wminhash_pairs(spark, sf_dir):
     from rabbittclust_spark.operators.dedup import wminhash_pairs
 
     sk = _md5_wminhash_sketch(spark, sf_dir)
-    return wminhash_pairs(_docs(spark, sf_dir), _CFG,
+    return wminhash_pairs(_docs(spark, sf_dir), _oracle_cap_cfg(_CFG),
                           num_samples=WMH_ORACLE_S, min_wjaccard=0.2,
                           sketch_df=sk)
 
@@ -1300,7 +1311,7 @@ def _q_substring_dedup(spark, sf_dir):
     from rabbittclust_spark.operators.substring import substring_dedup
 
     sk = _md5_winnow_fp_sketch(spark, sf_dir)
-    return substring_dedup(_docs(spark, sf_dir), _CFG,
+    return substring_dedup(_docs(spark, sf_dir), _oracle_cap_cfg(_CFG),
                            min_containment=0.5, sketch_df=sk)
 
 
@@ -1412,7 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repdb_topk": _q_repdb_topk,
         "repdb_assign": _q_repdb_assign,
         "repdb_stats": _q_repdb_stats,
-        "token_containment_greedy": _q_token_containment_greedy,
+        # r8: token_containment_greedy folded into token_containment
+        # (greedy_d column) — frees the 50th driver slot for
+        # embedding_neardup_lsh (VERDICT r7 task #5)
         "wminhash_pairs": _q_wminhash_pairs,
         "threshold_candidates": _q_threshold_candidates,
         "threshold_stability": _q_threshold_stability,
@@ -2190,7 +2203,15 @@ def oracle_sql() -> dict[str, str]:
                               WHEN common / CAST(least(n1, n2) AS DOUBLE) >= 1.0 THEN 0.0
                               ELSE least(1.0, -ln(common / CAST(least(n1, n2) AS DOUBLE))
                                               / {TOKEN_MASH_K}.0)
-                         END, 6) AS aaf_d
+                         END, 6) AS aaf_d,
+                   round(CASE
+                     WHEN common / CAST(least(n1, n2) AS DOUBLE) >= 1.0 THEN 0.0
+                     WHEN common / CAST(least(n1, n2) AS DOUBLE) <= 0.0 THEN 1.0
+                     ELSE least(1.0,
+                       -ln(2.0 * (common / CAST(least(n1, n2) AS DOUBLE))
+                           / (1.0 + common / CAST(least(n1, n2) AS DOUBLE)))
+                       / {TOKEN_MASH_K}.0)
+                   END, 6) AS greedy_d
             FROM dists
         """,
         "token_edge_stats": f"""
@@ -2516,20 +2537,6 @@ def oracle_sql() -> dict[str, str]:
                                       THEN 1 END), 0)
                     / CAST(count(*) AS DOUBLE)) < 0.05 AS stable
             FROM dd
-        """,
-        "token_containment_greedy": f"""
-            WITH {_TOKEN_PAIRS_CTE}
-            SELECT src, dst, common,
-                   round(common / CAST(least(n1, n2) AS DOUBLE), 6) AS containment,
-                   round(CASE
-                     WHEN common / CAST(least(n1, n2) AS DOUBLE) >= 1.0 THEN 0.0
-                     WHEN common / CAST(least(n1, n2) AS DOUBLE) <= 0.0 THEN 1.0
-                     ELSE least(1.0,
-                       -ln(2.0 * (common / CAST(least(n1, n2) AS DOUBLE))
-                           / (1.0 + common / CAST(least(n1, n2) AS DOUBLE)))
-                       / {TOKEN_MASH_K}.0)
-                   END, 6) AS greedy_d
-            FROM dists
         """,
         "ivf_topk": _sql_ivf_topk(),
         # wminhash_pairs / substring_dedup / multimodal_features /

@@ -117,6 +117,7 @@ def main() -> None:
         "embedding_neardup_lsh",  # sparse-SRP bucketed near-dup
         "topk_orders",
         "events_stats",
+        "wminhash_pairs",         # ICWS production wall (VERDICT r7 task #7)
         "minhash_dedup_oracle",         # driver-slot md5-sketch variants,
         "minhash_dedup_banded_oracle",  # timed under their own names
         "simhash_dedup_oracle",         # (comparable with r6 simhash_dedup)
@@ -157,7 +158,7 @@ def main() -> None:
         fn = qs[name]
         ws: list[float] = []
         es: list[float] = []
-        runs_left, clean = 3, 0
+        runs_left = 3
         budget = max_retries
         while runs_left > 0:
             _gate_ext(gate=ext_gate, max_wait=120.0 if not ws else 30.0)
@@ -168,7 +169,6 @@ def main() -> None:
             ws.append(round(time.time() - t0, 3))
             es.append(round(mon.stop(), 2))
             if es[-1] <= ext_gate:
-                clean += 1
                 runs_left -= 1
             elif budget > 0:
                 budget -= 1          # contaminated: spend a retry, keep sample
@@ -219,6 +219,20 @@ def main() -> None:
     }
     spark.stop()
     print(json.dumps(out))
+    # Truncation-proofing (VERDICT r7 'What's wrong' #1 / task #2): the
+    # driver records only the TAIL of stdout, and the r7 official artifact
+    # lost the first ~7 queries' walls to that cut.  Print a second,
+    # compact line LAST — a valid self-sufficient record carrying every
+    # verdict-critical number (min3 for all headline walls, cold walls,
+    # flagship, retry/contamination bookkeeping) but not the bulky
+    # per-run walls/ext_cores arrays — so whatever tail survives always
+    # contains the full round-over-round signal.
+    compact = {k: out[k] for k in (
+        "metric", "value", "unit", "queries", "queries_min3", "retries",
+        "contaminated", "cold_contaminated", "sf", "docs", "docs_per_sec",
+        "docs_per_sec_min3", "flagship_metric", "flagship_walls", "rows",
+        "cpus")}
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,18 @@ class PipelineConfig:
                                     # bottom-B probes, so losing the hot
                                     # subset alone almost never loses the
                                     # pair. None = unlimited.
+    strict_no_cap: bool = False   # raise instead of capping when any posting
+                                  # group exceeds max_posting.  For harness
+                                  # paths whose cross-engine oracle twin has
+                                  # no cap (the md5-sketch driver slots): the
+                                  # equivalence claim is "the cap never fires
+                                  # at this scale", and this flag turns that
+                                  # measured assumption into an executable
+                                  # guard — if the driver corpus grows a hot
+                                  # key, the gate fails with an attributable
+                                  # cap-fired error instead of a value-hash
+                                  # mismatch (ADVICE r7 #1).  Never set on
+                                  # production paths: capping IS the behavior.
     hot_hash_mode: str = "star"   # what happens to postings above max_posting:
                                   # "star" = escalate via anchor-star candidate
                                   # pairs (min-doc anchor linked to every other

@@ -476,6 +476,12 @@ def label_propagation_reference(edge_list, resolution: float = 1.0,
     ``weighted=True`` (coarsened super-graphs; self-loop rows count 2w into
     the node's degree and 2m, and are never move candidates) — or a
     3-tuple of numpy (u, v, dist-or-w) arrays (zero per-row Python).
+    CAVEAT (r7, ADVICE): a plain TUPLE of exactly three length-3
+    non-ndarray sequences is genuinely ambiguous between those two forms
+    (three edge triples vs three parallel columns) and now raises
+    ValueError — both silent readings shipped bugs in r5/r6.  For a 3-edge
+    graph pass a LIST of triples (``list(edges)``, not ``tuple(edges)``),
+    or numpy arrays for the columnar form.
     ``normalize`` applies the reference's narrow-range min-max weight
     rescaling (_minmax_normalize).  Returns {node: community}.
 

@@ -88,26 +88,33 @@ def _g711_decode_table(law: str) -> np.ndarray:
     return val.astype(np.int16)
 
 
-def _wav_fmt_and_data(data: bytes) -> tuple[int, int, int, int, bytes]:
+def _wav_fmt_and_data(
+        data: bytes) -> tuple[int, int, int, int, bytes, int | None]:
     """(wFormatTag, nChannels, wBitsPerSample, nBlockAlign, data-chunk
-    bytes) from a RIFF/WAVE payload via the shared _riff_chunks walk —
-    used for the formats stdlib wave refuses to open (G.711, IEEE float,
-    IMA ADPCM)."""
+    bytes, fact-chunk dwSampleLength-or-None) from a RIFF/WAVE payload via
+    the shared _riff_chunks walk — used for the formats stdlib wave refuses
+    to open (G.711, IEEE float, IMA/MS ADPCM).  The optional 'fact' chunk
+    carries the true per-channel frame count; compressed formats need it to
+    distinguish a final partially-filled block's real samples from its
+    zero-padded nibbles (ADVICE r7 #3)."""
     import struct
 
     fmt_code = nch = None
     bits = block_align = 0
     body = None
+    n_frames = None
     for cid, (b0, b1) in _riff_chunks(data, 12, len(data)):
         if cid == b"fmt " and b1 - b0 >= 4:
             fmt_code, nch = struct.unpack("<HH", data[b0:b0 + 4])
             if b1 - b0 >= 16:
                 block_align, bits = struct.unpack("<HH", data[b0 + 12:b0 + 16])
+        elif cid == b"fact" and b1 - b0 >= 4:
+            n_frames = struct.unpack("<I", data[b0:b0 + 4])[0]
         elif cid == b"data":
             body = data[b0:b1]
     if fmt_code is None or body is None:
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
-    return fmt_code, max(nch or 1, 1), bits, block_align, body
+    return fmt_code, max(nch or 1, 1), bits, block_align, body, n_frames
 
 
 # IMA/DVI ADPCM (WAV wFormatTag 0x11) quantizer tables — the published
@@ -205,7 +212,7 @@ def decode_audio(payload: bytes) -> np.ndarray:
         # block-vectorized quantizer; everything else (MS ADPCM,
         # mp3/ogg/flac) stays an honest refusal with ONE strict-mode
         # exception type (ADVICE r5)
-        fmt_code, nch, bits, block_align, body = _wav_fmt_and_data(
+        fmt_code, nch, bits, block_align, body, n_frames = _wav_fmt_and_data(
             bytes(payload))
         if fmt_code in (6, 7):
             table = _g711_decode_table("alaw" if fmt_code == 6 else "ulaw")
@@ -220,8 +227,11 @@ def decode_audio(payload: bytes) -> np.ndarray:
             x = np.clip(x.astype(np.float32), -1.0, 1.0)
             return x[: (len(x) // nch) * nch].reshape(-1, nch)
         if fmt_code == 0x11 and bits == 4:
-            return (_ima_adpcm_decode(body, nch, block_align)
-                    .astype(np.float32) / 32768.0)
+            x = (_ima_adpcm_decode(body, nch, block_align)
+                 .astype(np.float32) / 32768.0)
+            # 'fact' dwSampleLength trims a final block's zero-padded
+            # nibbles, which decode as real-looking samples (ADVICE r7 #3)
+            return x[:n_frames] if n_frames is not None else x
         raise NotImplementedError(
             f"WAV format tag {fmt_code} (bits={bits}) not decodable here "
             f"(stdlib wave covers integer PCM; numpy covers G.711, "

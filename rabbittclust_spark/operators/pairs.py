@@ -100,6 +100,15 @@ def _apply_posting_cap(postings: DataFrame, key: str, cfg: PipelineConfig,
     hot_rows = hot_counts.limit(HOT_KEY_COLLECT_LIMIT + 1).collect()
     if not hot_rows:
         return postings, None
+    if cfg.strict_no_cap:
+        worst = max(int(r["_pl"]) for r in hot_rows)
+        raise RuntimeError(
+            f"strict_no_cap [{label}]: {len(hot_rows)} posting group(s) "
+            f"exceed max_posting={cfg.max_posting} (largest={worst}). This "
+            f"path's cross-engine oracle twin has no cap, so its "
+            f"equivalence assumption ('cap never fires at gate scale') no "
+            f"longer holds — raise max_posting in the oracle config or "
+            f"re-derive the twin, rather than debugging a value mismatch.")
     star_mode = allow_star and cfg.hot_hash_mode == "star"
     if len(hot_rows) <= HOT_KEY_COLLECT_LIMIT:
         # small hot set (the measured reality: 13 keys at 1M docs):

@@ -151,3 +151,20 @@ def test_bucket_cap_dataframe_path(spark, monkeypatch):
     b = sorted(map(tuple, embedding_neardup_lsh(e, **kw)
                    .select("src", "dst").collect()))
     assert a == b and len(a) > 0
+
+
+def test_strict_no_cap_raises_on_hot_key(spark, hot_docs):
+    # ADVICE r7 #1: the oracle slots' "cap never fires at gate scale"
+    # assumption is executable — a hot posting group under strict_no_cap
+    # fails loudly with an attributable message instead of silently capping
+    # (which would surface as an unexplainable cross-engine value mismatch)
+    cfg = dataclasses.replace(BASE_CFG, max_posting=10, strict_no_cap=True)
+    with pytest.raises(RuntimeError, match="strict_no_cap.*max_posting=10"):
+        _clusters(hot_docs, cfg)
+
+
+def test_strict_no_cap_passes_below_cap(spark, hot_docs):
+    # same corpus, cap above every posting length: guard arms but never
+    # fires, results identical to the unguarded run
+    cfg = dataclasses.replace(BASE_CFG, strict_no_cap=True)
+    assert _clusters(hot_docs, cfg) == _clusters(hot_docs, BASE_CFG)

@@ -140,18 +140,23 @@ def test_decode_audio_wav_roundtrip():
 
 def _write_g711_wav(codes: bytes, fmt_code: int, nch: int = 1,
                     sr: int = 8000, bits: int = 8,
-                    block_align: int | None = None) -> bytes:
+                    block_align: int | None = None,
+                    n_frames: int | None = None) -> bytes:
     """Minimal RIFF writer for non-integer-PCM WAVs (wFormatTag 6 = A-law,
-    7 = mu-law, 3 = IEEE float, 0x11 = IMA ADPCM) — stdlib wave refuses to
-    WRITE these too, so the test brings its own container, mirroring
-    _write_avi."""
+    7 = mu-law, 3 = IEEE float, 0x11 = IMA/MS ADPCM) — stdlib wave refuses
+    to WRITE these too, so the test brings its own container, mirroring
+    _write_avi.  ``n_frames`` emits the optional 'fact' chunk (true
+    per-channel sample count, ADVICE r7 #3)."""
     import struct
 
     ba = nch * (bits // 8) if block_align is None else block_align
     fmt = struct.pack("<HHIIHH", fmt_code, nch, sr,
                       sr * nch * max(bits // 8, 1), ba, bits)
+    fact = (b"" if n_frames is None
+            else b"fact" + struct.pack("<II", 4, n_frames))
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + fact
             + b"data" + struct.pack("<I", len(codes)) + codes
             + (b"\x00" if len(codes) % 2 else b""))
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -341,6 +346,39 @@ def test_decode_audio_ima_adpcm():
     with pytest.raises(NotImplementedError):
         mm.decode_audio(_write_g711_wav(b"\x00" * 8, 0x11, bits=4,
                                         block_align=12))
+
+
+def test_decode_audio_ima_fact_chunk_trims_padding():
+    """A 'fact' chunk's dwSampleLength trims the final block's zero-padded
+    nibbles, which otherwise decode as real-looking samples (ADVICE r7 #3);
+    an absent or full-length fact chunk leaves the decode unchanged."""
+    import numpy as np
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    t = np.arange(34, dtype=np.float64)
+    sine = (3000 * np.sin(t / 3.0)).astype(np.int16)
+    data, ref = _ima_encode([sine], block_align=12)  # 2 blocks x 17 samples
+    # pretend only 30 of the 34 encoded samples are real (a partially
+    # filled final block): fact says 30, decode must trim to 30
+    out = mm.decode_audio(_write_g711_wav(data, 0x11, bits=4,
+                                          block_align=12, n_frames=30))
+    assert out.shape == (30, 1)
+    assert np.array_equal(np.round(out[:, 0] * 32768.0).astype(np.int16),
+                          ref[0][:30])
+    # fact == full length: no-op
+    out = mm.decode_audio(_write_g711_wav(data, 0x11, bits=4,
+                                          block_align=12, n_frames=34))
+    assert out.shape == (34, 1)
+    # stereo: fact counts FRAMES (per-channel samples), not flat samples
+    left = (2000 * np.sin(t[:18] / 2.5)).astype(np.int16)
+    right = (-1500 * np.cos(t[:18] / 4.0)).astype(np.int16)
+    data, ref = _ima_encode([left, right], block_align=16)
+    out = mm.decode_audio(_write_g711_wav(data, 0x11, nch=2, bits=4,
+                                          block_align=16, n_frames=13))
+    assert out.shape == (13, 2)
+    assert np.array_equal(np.round(out[:, 1] * 32768.0).astype(np.int16),
+                          ref[1][:13])
 
 
 def _write_avi(frames, rate=25):
