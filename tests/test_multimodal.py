@@ -138,28 +138,10 @@ def test_decode_audio_wav_roundtrip():
         mm.decode_audio(b"")
 
 
-def _write_g711_wav(codes: bytes, fmt_code: int, nch: int = 1,
-                    sr: int = 8000, bits: int = 8,
-                    block_align: int | None = None,
-                    n_frames: int | None = None) -> bytes:
-    """Minimal RIFF writer for non-integer-PCM WAVs (wFormatTag 6 = A-law,
-    7 = mu-law, 3 = IEEE float, 0x11 = IMA/MS ADPCM) — stdlib wave refuses
-    to WRITE these too, so the test brings its own container, mirroring
-    _write_avi.  ``n_frames`` emits the optional 'fact' chunk (true
-    per-channel sample count, ADVICE r7 #3)."""
-    import struct
-
-    ba = nch * (bits // 8) if block_align is None else block_align
-    fmt = struct.pack("<HHIIHH", fmt_code, nch, sr,
-                      sr * nch * max(bits // 8, 1), ba, bits)
-    fact = (b"" if n_frames is None
-            else b"fact" + struct.pack("<II", 4, n_frames))
-    body = (b"WAVE"
-            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + fact
-            + b"data" + struct.pack("<I", len(codes)) + codes
-            + (b"\x00" if len(codes) % 2 else b""))
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+# the RIFF writer + reference encoders moved to the shared fixture module
+# (rabbittclust_spark/fixtures/audio.py) in r8 so the driver-contract
+# audio_decode_check oracle and these tests pin the SAME state machines
+from rabbittclust_spark.fixtures.audio import write_wav as _write_g711_wav
 
 
 def test_decode_audio_g711():
@@ -243,55 +225,7 @@ def test_decode_audio_ieee_float():
         mm.decode_audio(_write_g711_wav(b"\x00" * 8, 2, bits=4))
 
 
-def _ima_encode(channels, block_align):
-    """Reference IMA ADPCM encoder (quantize-then-mirror-the-decoder, per
-    the published IMA recommended practices): returns (data bytes, the
-    encoder's own decoded predictions per channel) — the predictions are
-    what a spec-conforming decoder must reproduce EXACTLY."""
-    import struct
-
-    import numpy as np
-
-    from rabbittclust_spark.operators import multimodal as mm
-
-    nch = len(channels)
-    spb = 1 + (block_align - 4 * nch) * 2 // nch  # samples/block/channel
-    nblocks = len(channels[0]) // spb
-    idx = [0] * nch
-    out = b""
-    decoded = [[] for _ in range(nch)]
-    for b in range(nblocks):
-        nibs = [[] for _ in range(nch)]
-        for c in range(nch):
-            block = channels[c][b * spb:(b + 1) * spb]
-            pred = int(block[0])
-            out += struct.pack("<hBB", pred, idx[c], 0)  # headers first,
-            decoded[c].append(pred)                      # one per channel
-            for s in block[1:]:
-                step = int(mm._IMA_STEP_TABLE[idx[c]])
-                diff = int(s) - pred
-                nib = 8 if diff < 0 else 0
-                diff = abs(diff)
-                if diff >= step:
-                    nib |= 4
-                    diff -= step
-                if diff >= step >> 1:
-                    nib |= 2
-                    diff -= step >> 1
-                if diff >= step >> 2:
-                    nib |= 1
-                d = (step >> 3) + (step >> 2 if nib & 1 else 0) \
-                    + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
-                pred = max(-32768, min(32767, pred - d if nib & 8 else pred + d))
-                idx[c] = max(0, min(88, idx[c] + int(mm._IMA_INDEX_TABLE[nib])))
-                nibs[c].append(nib)
-                decoded[c].append(pred)
-        # data: 4-byte words per channel, channels interleaved per word
-        for g in range(len(nibs[0]) // 8):
-            for c in range(nch):
-                w = nibs[c][g * 8:(g + 1) * 8]
-                out += bytes(w[i] | (w[i + 1] << 4) for i in range(0, 8, 2))
-    return out, [np.array(d, dtype=np.int16) for d in decoded]
+from rabbittclust_spark.fixtures.audio import ima_encode as _ima_encode
 
 
 def test_decode_audio_ima_adpcm():
@@ -379,6 +313,69 @@ def test_decode_audio_ima_fact_chunk_trims_padding():
     assert out.shape == (13, 2)
     assert np.array_equal(np.round(out[:, 1] * 32768.0).astype(np.int16),
                           ref[1][:13])
+
+
+from rabbittclust_spark.fixtures.audio import ms_encode as _ms_encode
+
+
+def test_decode_audio_ms_adpcm():
+    """MS ADPCM WAVs (wFormatTag 0x02, r8 — the last WAV-family refusal)
+    decode via the block-vectorized two-tap-predictor quantizer: the decoder
+    must reproduce the reference encoder's internal predictions EXACTLY,
+    per predictor pair, deinterleave stereo, honor the 'fact' trim, and
+    keep honest refusals for malformed blocks."""
+    import numpy as np
+    import pytest
+
+    from rabbittclust_spark.operators import multimodal as mm
+
+    t = np.arange(60, dtype=np.float64)
+    sine = (6000 * np.sin(t / 4.0)).astype(np.int16)
+    # mono, block_align=21 -> 7 header bytes + 14 data bytes = 30 samples
+    for pred in range(7):  # every published coefficient pair
+        data, ref = _ms_encode([sine], block_align=21, predictors=[pred])
+        out = mm.decode_audio(
+            _write_g711_wav(data, 0x02, bits=4, block_align=21))
+        assert out.shape == (60, 1) and out.dtype == np.float32
+        got = np.round(out[:, 0] * 32768.0).astype(np.int16)
+        assert np.array_equal(got, ref[0]), f"predictor {pred}"
+
+    # stereo: nibbles alternate channels frame by frame
+    left = (5000 * np.sin(t[:40] / 3.0)).astype(np.int16)
+    right = (-4000 * np.cos(t[:40] / 5.0)).astype(np.int16)
+    data, ref = _ms_encode([left, right], block_align=32,
+                           predictors=[1, 4])  # 20 frames/block, 2 blocks
+    out = mm.decode_audio(
+        _write_g711_wav(data, 0x02, nch=2, bits=4, block_align=32))
+    assert out.shape == (40, 2)
+    assert np.array_equal(np.round(out[:, 0] * 32768.0).astype(np.int16),
+                          ref[0])
+    assert np.array_equal(np.round(out[:, 1] * 32768.0).astype(np.int16),
+                          ref[1])
+
+    # 'fact' chunk trims zero-padded tail samples (shared with IMA)
+    out = mm.decode_audio(_write_g711_wav(data, 0x02, nch=2, bits=4,
+                                          block_align=32, n_frames=33))
+    assert out.shape == (33, 2)
+    assert np.array_equal(np.round(out[:, 1] * 32768.0).astype(np.int16),
+                          ref[1][:33])
+
+    # a trailing partial block is dropped, not misparsed
+    out = mm.decode_audio(_write_g711_wav(data + b"\x01\x02", 0x02, nch=2,
+                                          bits=4, block_align=32))
+    assert out.shape == (40, 2)
+
+    # refusals: no room for headers / shorter than a block / bad predictor
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00" * 20, 0x02, nch=2, bits=4,
+                                        block_align=14))
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(b"\x00" * 10, 0x02, bits=4,
+                                        block_align=21))
+    bad = b"\x09" + data[1:len(data) // 2 * 2]
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(_write_g711_wav(bad[:32], 0x02, nch=2, bits=4,
+                                        block_align=32))
 
 
 def _write_avi(frames, rate=25):
@@ -487,10 +484,18 @@ def test_strict_features_use_decoded_content(spark):
     adpcm_data, _ = _ima_encode([adpcm_pcm], block_align=12)
     adpcm = _write_g711_wav(adpcm_data, 0x11, bits=4, block_align=12, sr=sr)
 
+    # the same tone again as MS ADPCM (r8: 30 samples per block_align=21
+    # mono block) — the distributed strict path must decode tag 2 too
+    ms_pcm = (np.sin(2 * np.pi * 330 * np.arange(30 * 53) / sr)
+              * 20000).astype(np.int16)
+    ms_data, _ = _ms_encode([ms_pcm], block_align=21, predictors=[4])
+    ms = _write_g711_wav(ms_data, 0x02, bits=4, block_align=21, sr=sr)
+
     media = spark.createDataFrame(
         [(1, "audio", bytearray(wav), (None, None, sr, n * 1000 // sr)),
          (2, "video", bytearray(avi), (8, 6, None, 120)),
-         (3, "audio", bytearray(adpcm), (None, None, sr, None))],
+         (3, "audio", bytearray(adpcm), (None, None, sr, None)),
+         (4, "audio", bytearray(ms), (None, None, sr, None))],
         schema=mm.MEDIA_SCHEMA)
     feats = {r.doc_id: np.array(r.feature, np.float32)
              for r in mm.extract_features(media, strict=True).collect()}
@@ -500,6 +505,9 @@ def test_strict_features_use_decoded_content(spark):
     want_adpcm = mm._audio_feature(mm.decode_audio(adpcm))
     assert np.allclose(feats[3], want_adpcm, atol=1e-6)
     assert not np.allclose(feats[3], mm._fake_feature(adpcm), atol=1e-3)
+    want_ms = mm._audio_feature(mm.decode_audio(ms))
+    assert np.allclose(feats[4], want_ms, atol=1e-6)
+    assert not np.allclose(feats[4], mm._fake_feature(ms), atol=1e-3)
     sampled = mm.sample_video_frames(avi)  # default 1000 ms -> frame 0 only
     assert len(sampled) == 1 and (sampled[0] == frames[0]).all()
     pooled = np.mean([mm._pool_image_feature(f) for f in sampled], axis=0)
@@ -508,3 +516,46 @@ def test_strict_features_use_decoded_content(spark):
     # decoded-content features are NOT the byte-histogram fallback
     assert not np.allclose(feats[1], mm._fake_feature(wav), atol=1e-3)
     assert not np.allclose(feats[2], mm._fake_feature(avi), atol=1e-3)
+
+
+def test_audio_stats_distributed_matches_fixture(spark):
+    """The driver-contract codec oracle's Spark half: audio_stats (the
+    production Arrow-binary mapInPandas path) over the pinned codec fixture
+    reproduces the ENCODER-derived expected aggregates for every codec
+    family, distributed (r8, VERDICT r7 task #8)."""
+    from rabbittclust_spark.fixtures.audio import codec_fixture, expected_stats
+    from rabbittclust_spark.operators.multimodal import audio_stats
+
+    fixture = codec_fixture()
+    media = spark.createDataFrame(
+        [(r["sample_id"], bytearray(r["payload"])) for r in fixture],
+        "doc_id long, payload binary").repartition(4)
+    got = {r.doc_id: (r.n_frames, r.n_channels, r.sum_s, r.min_s, r.max_s,
+                      r.wsum)
+           for r in audio_stats(media).collect()}
+    assert len(got) == len(fixture)
+    codecs = set()
+    for row in fixture:
+        e = expected_stats(row)
+        codecs.add(row["codec"].split("_")[0])
+        assert got[e["sample_id"]] == (
+            e["n_frames"], e["n_channels"], e["sum_s"], e["min_s"],
+            e["max_s"], e["wsum"]), row["codec"]
+    # every real codec family is pinned
+    assert {"pcm16", "pcm8", "ulaw", "alaw", "float32", "ima", "ms"} <= codecs
+
+
+def test_g711_fixture_formula_independent():
+    """The fixture's inline ITU-T G.711 expansions agree with the decoder's
+    numpy tables on every code — two independent writings of the published
+    formula (the cross-check that makes the ulaw/alaw oracle rows
+    encoder-independent)."""
+    from rabbittclust_spark.fixtures.audio import (
+        _alaw_expand_independent, _ulaw_expand_independent)
+    from rabbittclust_spark.operators import multimodal as mm
+
+    ut = mm._g711_decode_table("ulaw")
+    at = mm._g711_decode_table("alaw")
+    for c in range(256):
+        assert _ulaw_expand_independent(c) == int(ut[c]), f"ulaw {c}"
+        assert _alaw_expand_independent(c) == int(at[c]), f"alaw {c}"
