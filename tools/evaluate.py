@@ -124,14 +124,10 @@ def evaluate_assignments(assign_pdf, truth_pdf) -> dict:
     return out
 
 
-def main() -> None:
-    corpus = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith(
-        "--") else "/root/repo/.out/bench_corpus"
-    cpus = 32
-    for i, a in enumerate(sys.argv):
-        if a == "--cpus":
-            cpus = int(sys.argv[i + 1])
-
+def evaluate_corpus(corpus: str, cpus: int = 32) -> dict:
+    """Run the production flagship over a fixture corpus parquet (truth
+    columns included) and score it — the callable the scaling matrix uses
+    to put an NMI/purity line in BENCH/BASELINE.md."""
     from rabbittclust_spark.config import PipelineConfig
     from rabbittclust_spark.operators.dedup import minhash_dedup
     from rabbittclust_spark.operators.extract import with_extracted_text
@@ -152,7 +148,17 @@ def main() -> None:
     spark.stop()
     out = evaluate_assignments(assign_pdf, truth_pdf)
     out["corpus"] = corpus
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    corpus = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith(
+        "--") else "/root/repo/.out/bench_corpus"
+    cpus = 32
+    for i, a in enumerate(sys.argv):
+        if a == "--cpus":
+            cpus = int(sys.argv[i + 1])
+    print(json.dumps(evaluate_corpus(corpus, cpus)))
 
 
 if __name__ == "__main__":

@@ -343,6 +343,94 @@ def sustained_ceiling(pair: tuple[int, int], seconds: float = 30.0,
     return out
 
 
+def write_interleaved_baseline_md(args, summary: dict) -> None:
+    """BENCH/BASELINE.md from an interleaved matrix: per-pair raw AND
+    ceiling-normalized efficiencies (VERDICT r7 task #1 — the headline is
+    the all-published-pairs median of the normalized number, no window
+    selection, no prose required), plus the NMI/purity cluster-quality
+    line when --eval ran."""
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    n_lo, n_hi = summary["pair"]
+    rows = "\n".join(
+        f"| {p['round']} | {p[f'wall{n_lo}']} | {p[f'wall{n_hi}']} "
+        f"| {p['efficiency']} | {p['ceiling']} | {p['efficiency_norm']} "
+        f"| {p[f'ext_cores{n_lo}']} / {p[f'ext_cores{n_hi}']} "
+        f"/ {p['probe_ext_cores'][0]} / {p['probe_ext_cores'][1]} "
+        f"| {'yes' if p['clean'] else 'NO'} |"
+        for p in summary["pairs"])
+    quality = ""
+    if summary.get("cluster_quality"):
+        q = summary["cluster_quality"]
+        quality = f"""
+## Cluster quality vs planted truth (tools/evaluate.py)
+
+Reference-evaluation-suite analog (getNMI.py / calPurity.cpp semantics)
+over this same corpus, production flagship assignments vs the fixture's
+planted truth_cluster labels (junk "short" docs = singleton truth classes):
+
+- **NMI = {q['nmi']}**, purity = {q['purity']} (min per-cluster
+  {q['min_cluster_purity']}), coverage = {q['coverage']}
+  ({q['n']} docs, {q['n_clusters']} predicted / {q['n_truth_clusters']}
+  truth clusters).  The planted near-dup mutation rates deliberately
+  straddle the d=0.05 threshold, so 1.0 is not the target; the planted
+  exact/near families themselves cluster at recall = precision = 1.0
+  (tests/test_pipeline_e2e.py).
+"""
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured numbers
+
+Generated by `tools/scaling_bench.py --interleaved` on {now}.
+
+## Flagship job
+
+Full MinHash+LSH dedup pipeline over a synthetic Common-Crawl-style webtext
+corpus (fixtures/webtext.py; {args.clusters} clusters x {args.members}
+members + singletons + short docs + a 500-doc hot-boilerplate cluster;
+{args.min_tokens}-{args.max_tokens} tokens/doc; {summary['docs']} docs
+clustered): read parquet -> HTML->text extraction (pandas UDF) ->
+bottom-1000 MinHash sketch (k=21 char shingles, pandas UDF) -> probe-mode
+candidate join + exact array_intersect verify -> Mash distance <= 0.05 ->
+connected components -> assignments.
+
+## Two-cluster-size scaling criterion (BASELINE.json)
+
+No real cluster exists in this sandbox; per the driver instruction the
+N -> 4N executor criterion is evidenced by the identical job on the
+identical input at two local parallelism levels, interleaved pairs, every
+timed window external-CPU-monitored.  NEW in r8 (VERDICT r7 task #1): a
+sustained hardware-ceiling probe ({args.probe_kernel} kernel,
+{args.probe_secs:.0f} s/level) runs IMMEDIATELY before each pair in the
+same host window, and each pair is published raw AND normalized to its own
+ceiling — the host's per-core allocation drifts between windows (r7
+measured matrix-bracketing probes at 0.918 then 1.149), and the per-pair
+ceiling is what any perfectly parallel job could reach in that window.
+The normalized number is what transfers to N -> 4N separate executors,
+each bringing its own cores and memory bus.
+
+**Headline (ALL published pairs, no window selection): median
+ceiling-normalized efficiency local[{n_lo}] -> local[{n_hi}] =
+{summary['median_efficiency_norm_all']} (criterion >= 0.8); raw median
+{summary['median_efficiency_all']}.  Clean pairs only
+({summary['clean_pairs']} of {len(summary['pairs'])}): normalized
+{summary['median_efficiency_norm_clean']}, raw
+{summary['median_efficiency_clean']}.**
+
+| pair | wall{n_lo} (s) | wall{n_hi} (s) | raw eff | ceiling | norm eff | ext cores (lo/hi/probe-lo/probe-hi) | clean |
+|---|---|---|---|---|---|---|---|
+{rows}
+{quality}
+All stages are shuffle-partitioned with no driver-side loops in the hot
+path; the only driver-side step (union-find under the 2M-edge cutoff) is
+O(edges) and replaced by distributed large-star/small-star iterations
+beyond it.
+
+```json
+{json.dumps(summary)}
+```
+""")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # default = the 2x corpus (~144.5k docs) where the N->4N criterion is
@@ -378,6 +466,20 @@ def main() -> None:
                          "hash+sort (ALU ceiling), mem = 64MB-streaming "
                          "(memory-bandwidth ceiling — the right ceiling "
                          "for extract/verify-join-shaped stages)")
+    ap.add_argument("--probe-secs", type=float, default=12.0,
+                    help="interleaved mode: sustained-ceiling probe "
+                         "duration per level, run IMMEDIATELY before each "
+                         "pair (VERDICT r7 task #1 — per-pair ceiling "
+                         "normalization)")
+    ap.add_argument("--eval", action="store_true",
+                    help="interleaved mode: after the matrix, run the "
+                         "NMI/purity cluster-quality evaluation "
+                         "(tools/evaluate.py) over the corpus and include "
+                         "it in the summary + BENCH/BASELINE.md")
+    ap.add_argument("--write-md", action="store_true",
+                    help="interleaved mode: write BENCH/BASELINE.md from "
+                         "the matrix summary (previously only the "
+                         "sequential mode wrote it)")
     ap.add_argument("--deadline", type=float, default=0.0, metavar="SECS",
                     help="wall-clock budget for the whole invocation; the "
                          "interleaved loop stops starting new pairs once "
@@ -408,7 +510,7 @@ def main() -> None:
         clean = 0
         attempts = 0
         max_attempts = args.interleaved * 2 + 4
-        pair_cost = 360.0  # worst observed pair wall+gates; refined per pair
+        pair_cost = 420.0  # worst observed pair wall+gates; refined per pair
         while clean < args.interleaved and attempts < max_attempts:
             if args.deadline and \
                     time.time() - t_start + pair_cost > args.deadline:
@@ -417,22 +519,42 @@ def main() -> None:
                                   "deadline": args.deadline}), flush=True)
                 break
             t_pair = time.time()
+            # PER-PAIR hardware ceiling (VERDICT r7 task #1): the host's
+            # per-core speed drifts between windows (r7 measured matrix-
+            # bracketing ALU probes at 0.918 then 1.149 — a reading above
+            # 1.0 means the host itself moved), so a matrix-level probe
+            # cannot attribute a slow pair.  A short sustained probe runs
+            # IMMEDIATELY before each pair, inside the same host window,
+            # and the pair's raw efficiency is published alongside its
+            # ceiling-normalized value eff / ceiling — the number that
+            # transfers to N -> 4N separate executors, where each executor
+            # brings its own cores instead of splitting this box's budget.
+            ceil = sustained_ceiling((n_lo, n_hi),
+                                     seconds=args.probe_secs,
+                                     kernel=args.probe_kernel)
             wait_for_quiet()
             w_lo, docs, e_lo = run_flagship(n_lo)
             wait_for_quiet()
             w_hi, _, e_hi = run_flagship(n_hi)
             eff = w_lo / ((n_hi // n_lo) * w_hi)
             # a pair is clean when <1 external core ran during BOTH timed
-            # windows; contaminated pairs are kept in the report (with
-            # their measured external cores) but excluded from the gated
-            # median and re-run — the criterion is about the job, not
-            # about whoever else the sandbox host schedules mid-run
-            is_clean = e_lo < args.ext_gate and e_hi < args.ext_gate
+            # windows AND both probe windows; contaminated pairs are kept
+            # in the report (with their measured external cores) but
+            # excluded from the gated median and re-run — the criterion is
+            # about the job, not about whoever else the sandbox host
+            # schedules mid-run
+            is_clean = (e_lo < args.ext_gate and e_hi < args.ext_gate
+                        and ceil[f"ext_cores{n_lo}"] < args.ext_gate
+                        and ceil[f"ext_cores{n_hi}"] < args.ext_gate)
             pairs.append({"round": attempts, f"wall{n_lo}": round(w_lo, 1),
                           f"wall{n_hi}": round(w_hi, 1),
                           "efficiency": round(eff, 3),
+                          "ceiling": ceil["ceiling"],
+                          "efficiency_norm": round(eff / ceil["ceiling"], 3),
                           f"ext_cores{n_lo}": round(e_lo, 2),
                           f"ext_cores{n_hi}": round(e_hi, 2),
+                          "probe_ext_cores": [ceil[f"ext_cores{n_lo}"],
+                                              ceil[f"ext_cores{n_hi}"]],
                           "clean": is_clean})
             clean += is_clean
             attempts += 1
@@ -448,15 +570,34 @@ def main() -> None:
                 (vals[mid - 1] + vals[mid]) / 2
 
         effs = [p["efficiency"] for p in pairs]
+        neffs = [p["efficiency_norm"] for p in pairs]
         clean_effs = [p["efficiency"] for p in pairs if p["clean"]]
-        print(json.dumps({
+        clean_neffs = [p["efficiency_norm"] for p in pairs if p["clean"]]
+        summary = {
             "pairs": pairs, "docs": docs if pairs else 0,
+            "pair": [n_lo, n_hi],
+            "probe_kernel": args.probe_kernel,
+            "probe_secs": args.probe_secs,
             "median_efficiency_all": (round(_median(effs), 3)
                                       if effs else None),
+            "median_efficiency_norm_all": (round(_median(neffs), 3)
+                                           if neffs else None),
             "clean_pairs": len(clean_effs),
             "median_efficiency_clean": (round(_median(clean_effs), 3)
                                         if clean_effs else None),
-            "best_pair_efficiency": max(effs) if effs else None}))
+            "median_efficiency_norm_clean": (round(_median(clean_neffs), 3)
+                                             if clean_neffs else None),
+            "best_pair_efficiency": max(effs) if effs else None}
+        print(json.dumps(summary), flush=True)
+        if args.eval and pairs:
+            from tools.evaluate import evaluate_corpus
+            summary["cluster_quality"] = evaluate_corpus(CORPUS_DIR,
+                                                         cpus=n_hi)
+            print(json.dumps({"cluster_quality":
+                              summary["cluster_quality"]}), flush=True)
+        if args.write_md and pairs:
+            write_interleaved_baseline_md(args, summary)
+            print("wrote /root/repo/BENCH/BASELINE.md", flush=True)
         return
 
     if not args.skip_gen or not os.path.exists(CORPUS_DIR):
