@@ -420,6 +420,18 @@ ceiling-normalized efficiency local[{n_lo}] -> local[{n_hi}] =
 |---|---|---|---|---|---|---|---|
 {rows}
 {quality}
+## Historical matrices (round-over-round, full tables in git history)
+
+Same corpus (144.5k docs) unless noted; normalization did not exist
+before r8, so earlier rounds publish raw efficiency only:
+
+- r7 (commit f6fba9f): 8/8 clean raw pairs 0.550-0.874, all-8 median
+  0.768, last-4 median 0.844 — bimodal, split attributed to host
+  per-core drift (matrix-bracketing ALU probes 0.918 then 1.149),
+  which motivated this round's per-pair ceiling.
+- r6: 4/4 clean pairs 0.867-0.972 on the same 2x corpus.
+- r5 and earlier: 72.5k-doc corpus, see git history of this file.
+
 All stages are shuffle-partitioned with no driver-side loops in the hot
 path; the only driver-side step (union-find under the 2M-edge cutoff) is
 O(edges) and replaced by distributed large-star/small-star iterations
