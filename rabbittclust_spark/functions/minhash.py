@@ -145,28 +145,45 @@ def _u01(x: np.ndarray) -> np.ndarray:
 def icws_signature(hashes: np.ndarray, weights: np.ndarray, num_samples: int,
                    seed: int = 0) -> np.ndarray:
     """ICWS weighted-MinHash signature: ``num_samples`` uint64 keys, each a
-    hash of the sampled (element, t) pair.  Empty input -> all-max keys."""
+    hash of the sampled (element, t) pair.  Empty input -> all-max keys.
+
+    Fully 2-D vectorized over (samples x elements) — the r7-benched
+    per-sample Python loop was ~6 tiny splitmix calls per sample per doc
+    and dominated the production wminhash_pairs wall (54 s at sf0.1, 10x
+    the family).  Every elementwise formula, the counter-hash derivation,
+    and the argmin tie-break (first index) are unchanged, so signatures
+    are bit-identical to the loop version; sample rows are independent, so
+    chunking over samples bounds the transient (chunk x n) matrices
+    without changing values."""
     s = int(num_samples)
     if len(hashes) == 0:
         return np.full(s, np.iinfo(np.uint64).max, dtype=_U64)
     h = hashes.astype(_U64)
-    lnw = np.log(weights.astype(np.float64))
+    n = len(h)
+    lnw = np.log(weights.astype(np.float64))[None, :]
     out = np.empty(s, dtype=_U64)
     base = _U64((seed * 0x9E3779B9 + 0x85EBCA6B) & 0xFFFFFFFFFFFFFFFF)
-    for p in range(s):
-        kp = splitmix64(np.array([base + _U64(p)], dtype=_U64))[0]
-        u = [_u01(splitmix64(h ^ splitmix64(np.array([kp + _U64(i)],
-                                                     dtype=_U64))[0]))
-             for i in range(5)]
-        r = -(np.log(u[0]) + np.log(u[1]))       # Gamma(2,1)
-        ln_c = np.log(-(np.log(u[2]) + np.log(u[3])))
-        beta = u[4]
+    kp_all = splitmix64(base + np.arange(s, dtype=_U64))
+    chunk = max(1, 4_000_000 // n)           # ~30 MB float64 temporaries
+    for c0 in range(0, s, chunk):
+        kp = kp_all[c0:c0 + chunk]
+
+        def _u(i: int) -> np.ndarray:
+            ki = splitmix64(kp + _U64(i))
+            return _u01(splitmix64(h[None, :] ^ ki[:, None]))
+
+        r = -(np.log(_u(0)) + np.log(_u(1)))     # Gamma(2,1)
+        ln_c = np.log(-(np.log(_u(2)) + np.log(_u(3))))
+        beta = _u(4)
         t = np.floor(lnw / r + beta)
         ln_a = ln_c - r * (t - beta) - r
-        idx = int(np.argmin(ln_a))
-        tkey = splitmix64(np.array([_U64(int(t[idx]) & 0xFFFFFFFFFFFFFFFF)],
-                                   dtype=_U64))[0]
-        out[p] = splitmix64(np.array([h[idx] ^ tkey], dtype=_U64))[0]
+        idx = np.argmin(ln_a, axis=1)            # first-min, as 1-D argmin
+        rows = np.arange(len(idx))
+        # int(float) truncates toward zero; int64 cast matches for |t| far
+        # below 2^63 (t = floor(lnw/r + beta), bounded by counts), and the
+        # uint64 view reproduces the Python & 0xFFFF... two's-complement wrap
+        tkey = splitmix64(t[rows, idx].astype(np.int64).view(_U64))
+        out[c0:c0 + chunk] = splitmix64(h[idx] ^ tkey)
     return out
 
 

@@ -198,6 +198,23 @@ def sketch_minhash_bands(df: DataFrame, cfg: PipelineConfig,
         compute, schema=_SKETCH_SCHEMA + ", band_keys array<long>")
 
 
+def _spread_for_cpu_kernel(prepared: DataFrame) -> DataFrame:
+    """Fan a narrow (doc_id, text) projection out to defaultParallelism
+    when the file scan cannot: mapInPandas inherits SCAN partitioning, so a
+    single small parquet file runs a CPU-bound kernel on one core.
+    ``inputFiles()`` is plan metadata (no job, no RDD conversion); an
+    in-memory test frame reports zero files and is also spread.  Scans
+    already fanned out over >= parallelism files (the 100 TB case) pass
+    through untouched — no shuffle."""
+    spark = prepared.sparkSession
+    target = int(spark.sparkContext.defaultParallelism)
+    try:
+        n_files = len(prepared.inputFiles())
+    except Exception:
+        n_files = 0
+    return prepared.repartition(target) if n_files < target else prepared
+
+
 def sketch_wminhash(df: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Weighted MinHash (ICWS) signatures over shingle COUNTS — the
@@ -207,7 +224,17 @@ def sketch_wminhash(df: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
     sig[p] values collide across documents with probability = weighted
     Jaccard, so positional agreement / num_samples estimates it
     (tests/test_minhash.py asserts the estimator CI vs the exact
-    functions.minhash.weighted_jaccard)."""
+    functions.minhash.weighted_jaccard).
+
+    ICWS is the most CPU-intense sketch kernel (~1 ms/doc vectorized, ~10x
+    the bottom-s rolling hash), so scan parallelism is load-bearing: a
+    small single-file input gives mapInPandas ONE partition and the stage
+    runs serial (measured 54 s for 5k docs at r8 before this fix).  When
+    the scan fans out over fewer files than cores, the narrow projected
+    input is repartitioned to defaultParallelism first — for this kernel
+    the one-time text redistribution (~30 s of ICWS per serial MB) is
+    orders cheaper than serial compute; a 100 TB scan over thousands of
+    file splits skips the shuffle entirely."""
     from rabbittclust_spark.functions.minhash import icws_signature, shingle_hash_counts
 
     k, seed, lower = cfg.shingle_k, cfg.hash_seed, cfg.lowercase
@@ -231,4 +258,5 @@ def sketch_wminhash(df: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(compute, schema=_SKETCH_SCHEMA)
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema=_SKETCH_SCHEMA)
