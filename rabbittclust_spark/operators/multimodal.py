@@ -474,9 +474,13 @@ def extract_features(media: DataFrame, strict: bool = False,
     """media -> features via mapInPandas (Arrow batches of binary payloads).
 
     Partition strategy: payloads are opaque blobs, so the UDF is per-row
-    independent -> narrow map, no shuffle; Arrow batch size is bounded by the
+    independent; Arrow batch size is bounded by the
     session's maxRecordsPerBatch and payloads stream batch-by-batch (the
-    iterator form never holds a whole partition in memory).
+    iterator form never holds a whole partition in memory).  Decode is the
+    CPU-heavy kernel of the media path, so when the scan covers fewer
+    files than cores the narrow projection is fanned out to
+    defaultParallelism first (r8, same guard as the ICWS sketch) — a
+    many-file scan at scale passes through with no shuffle.
     strict=True decodes payloads with the real codecs (image via PIL when
     importable, WAV via stdlib wave, uncompressed AVI via the RIFF walk)
     and computes the feature from the DECODED content — pixel grid+histogram
@@ -500,7 +504,10 @@ def extract_features(media: DataFrame, strict: bool = False,
                 "feature": [f.tolist() for f in feats],
             })
 
-    return media.select("doc_id", "kind", "payload").mapInPandas(
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    return _spread_for_cpu_kernel(
+        media.select("doc_id", "kind", "payload")).mapInPandas(
         compute, schema=FEATURE_SCHEMA)
 
 
@@ -545,7 +552,10 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 "doc_id", "n_frames", "n_channels", "sum_s", "min_s",
                 "max_s", "wsum"])
 
-    return media.select("doc_id", "payload").mapInPandas(
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    return _spread_for_cpu_kernel(
+        media.select("doc_id", "payload")).mapInPandas(
         compute, schema=AUDIO_STATS_SCHEMA)
 
 
@@ -586,7 +596,10 @@ def byte_histogram(media: DataFrame) -> DataFrame:
                 "byte": np.asarray(bytes_, dtype=np.int32),
                 "n": np.asarray(ns, dtype=np.int64)})
 
-    return media.select("doc_id", "kind", "payload").mapInPandas(
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    return _spread_for_cpu_kernel(
+        media.select("doc_id", "kind", "payload")).mapInPandas(
         compute, schema=HIST_SCHEMA)
 
 
