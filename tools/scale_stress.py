@@ -30,6 +30,40 @@ sys.path.insert(0, "/root/repo")
 CORPUS_DIR = "/root/repo/.out/stress_corpus"
 
 
+# Static history appended to every regenerated SCALE.md — the run table
+# above is replaced per run; these sections carry the round-over-round
+# record and the cap-sizing rationale that earlier regenerations lost.
+_HISTORY_MD = """
+Round-over-round (same corpus and default config throughout): r3 measured
+247-306 s (3217-3987 docs/s); r4 187.5 s / 5254 docs/s (vectorized driver
+union-find, single-aggregate hot-key accounting); r8 198.3 s / 4967 docs/s
+with the SAME outputs bit-for-bit (edges 1657845, clusters 533394, hot
+25000-doc clique fully recovered, 0 CC mismatches) — four rounds of
+changes (oracle hooks, ICWS vectorization, scan spreading) left the
+million-doc flagship result identical, and the wall difference is host
+variance (the CC spot-check walls swing 20-81 s on identical inputs).
+
+## Why max_posting=2000 (r3 experiment, kept for the record)
+
+The first finite default (20000) was sized by posting LENGTH; the correct
+budget is JOIN OUTPUT (p^2/2 rows per key).  At 20000 the 25k-doc hot
+cluster dropped its hottest keys but left shoulder keys just under the
+cap, and p^2 at p~15000 is 10^8 rows per key — Spark spilled >60 GB of
+shuffle and died.  With the cap at 2000 + star escalation the same corpus
+runs end-to-end AND the 25000-doc mutual-near-dup clique is still
+recovered as ONE cluster (largest_cluster == 25000): anchor-star
+candidates pass exact verification and connected components restores the
+clique transitively.
+
+Recall argument for the lower cap: a true near-dup pair at the d=0.05
+boundary shares ~J*B = 7 of its bottom-32 probe hashes; losing the >2000-
+posting subset of those only loses the pair if ALL shared hashes are hot,
+which requires the pair's similarity to be pure boilerplate — exactly the
+case star escalation + CC recovers when they are mutual near-dups of the
+anchor, and exactly the case that SHOULD be dropped when they are not.
+"""
+
+
 class _Capture(logging.Handler):
     def __init__(self) -> None:
         super().__init__()
@@ -188,6 +222,7 @@ Hot-key escalation log (operator-emitted, no silent caps):
 {chr(10).join(hot_lines[:6]) if hot_lines else '(no postings above the cap this run)'}
 ```
 """
+    md += _HISTORY_MD
     with open("/root/repo/BENCH/SCALE.md", "w") as f:
         f.write(md)
     spark.stop()
