@@ -559,3 +559,23 @@ def test_g711_fixture_formula_independent():
     for c in range(256):
         assert _ulaw_expand_independent(c) == int(ut[c]), f"ulaw {c}"
         assert _alaw_expand_independent(c) == int(at[c]), f"alaw {c}"
+
+
+def test_media_kernels_spread_single_partition_input(spark):
+    """The media decode kernels are the CPU-heavy step of the binary path
+    and, like the ICWS sketch, must not run serial just because the input
+    arrived in one partition (r8: _spread_for_cpu_kernel on all three
+    mapInPandas sites).  In-memory frames report zero input files, so the
+    guard must fan them out."""
+    from pyspark.sql import functions as F
+
+    import rabbittclust_spark.operators.multimodal as mm
+
+    rows = [(i, "audio", bytearray(bytes([i % 251] * 64)),
+             (None, None, 8000, None)) for i in range(200)]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA).coalesce(1)
+    for out in (mm.extract_features(media),
+                mm.byte_histogram(media)):
+        n_parts = (out.withColumn("p", F.spark_partition_id())
+                   .select("p").distinct().count())
+        assert n_parts > 1, out
