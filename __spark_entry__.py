@@ -149,8 +149,18 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _token_postings(spark, sf_dir):
     """(doc_id, source, tok) distinct-token posting rows — the single source
     of the tokenization expression shared by every token-graph query (MUST
-    stay in lockstep with the DuckDB CTEs' regexp_extract_all)."""
-    d = _docs(spark, sf_dir)
+    stay in lockstep with the DuckDB CTEs' regexp_extract_all).
+
+    r9: the scan is spread to defaultParallelism first (file-count-gated,
+    no-op for many-split scans at scale) — tokenization AND, critically, the
+    broadcast-hash posting self-joins built on these rows inherit the scan's
+    partitioning, so a single-file corpus previously ran the entire
+    O(sum posting^2) pair explosion on one core (measured: the token-edge
+    join was ~3.0 s of a 3.6 s wall at sf0.1 on local[32])."""
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    d = _spread_for_cpu_kernel(
+        _docs(spark, sf_dir).select("doc_id", "text", "source"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source",
         F.explode(F.array_distinct(
@@ -406,9 +416,13 @@ def _md5_minhash_sketch(spark, sf_dir, banded: bool = False):
     engines, so the DuckDB twin rebuilds these sketches bit-exactly.  In
     banded mode, band key i = md5("i,sig[2i],sig[2i+1]") — a deterministic
     2-row band over the sorted signature, SQL-expressible on both sides."""
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
     docs = _docs(spark, sf_dir)
     canon = exact_dedup(docs)
-    base = (docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    base = (_spread_for_cpu_kernel(
+                docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            "text"))
             .join(canon.where(F.col("doc_id") == F.col("canonical_id"))
                   .select("doc_id"), "doc_id")
             .where(F.length("text") >= _CFG.min_len))
@@ -418,12 +432,16 @@ def _md5_minhash_sketch(spark, sf_dir, banded: bool = False):
     h = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, MH_HEX_PREFIX_LEN), 16, 10)
-        .cast("long").alias("h")).distinct()
-    w = Window.partitionBy("doc_id").orderBy("h")
-    sk = (h.withColumn("_rk", F.row_number().over(w))
-          .where(F.col("_rk") <= MH_ORACLE_S)
-          .groupBy("doc_id")
-          .agg(F.sort_array(F.collect_list("h")).alias("sig")))
+        .cast("long").alias("h"))
+    # r9 (guide §2.4): bottom-s as ONE hash aggregate — collect_set dedups
+    # (h is distinct within a doc anyway: distinct tokens, injective-enough
+    # md5 prefix — the previous global .distinct() exchange is subsumed),
+    # array_sort + slice takes the s smallest; identical to the previous
+    # distinct + row_number window + sort_array(collect_list) at a third of
+    # the shuffles and with no per-partition sort.
+    sk = h.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, MH_ORACLE_S)
+        .alias("sig"))
     out = (sk.join(base.select("doc_id",
                                F.length("text").cast("long").alias("len")),
                    "doc_id")
@@ -1228,9 +1246,12 @@ def _md5_wminhash_sketch(spark, sf_dir):
     Jaccard, so positional agreement estimates it just like the ICWS
     signature estimates weighted Jaccard — and md5 is identical across
     engines, so the DuckDB twin rebuilds the signatures bit-exactly."""
-    base = (_docs(spark, sf_dir)
-            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-            .where(F.length("text") >= _CFG.min_len))
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    base = _spread_for_cpu_kernel(
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.length("text") >= _CFG.min_len))
     toks = base.select("doc_id", F.explode(F.array_distinct(
         F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
                              F.lit(0)))).alias("tok"))
@@ -1275,9 +1296,12 @@ def _md5_winnow_fp_sketch(spark, sf_dir):
     tokens, exactly the oracle-green token_winnow sketch with hex swapped
     for the BIGINT cast both engines share.  Docs with fewer than W tokens
     have no window and drop out in BOTH engines."""
-    base = (_docs(spark, sf_dir)
-            .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-            .where(F.length("text") >= _CFG.min_len))
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    base = _spread_for_cpu_kernel(
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.length("text") >= _CFG.min_len))
     toks = base.select("doc_id", F.posexplode(
         F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
                              F.lit(0))).alias("pos", "tok"))

@@ -37,11 +37,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     never shuffles; each task scans its corpus slice against all queries.
     Ties broken by neighbor_id for determinism.
     """
-    c = _prep(corpus, id_col, vec_col)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    # r9: spread the few-file corpus scan (the broadcast-nested-loop stream
+    # side otherwise scores every (corpus, query) pair on one core) and
+    # fold each side's norm once per VECTOR instead of once per pair — the
+    # expression tree matches cosine_expr exactly, so cos is bit-identical.
+    c = _spread_for_cpu_kernel(_prep(corpus, id_col, vec_col)) \
+        .withColumn("_nc", _norm_expr(F.col("vec")))
     q = _prep(queries, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"),
+        _norm_expr(F.col("vec")).alias("_nq"))
     joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = cosine_expr(F.col("vec"), F.col("qvec"))
+    dot = F.aggregate(F.zip_with(F.col("vec"), F.col("qvec"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("_nc") > 0) & (F.col("_nq") > 0),
+                 dot / (F.col("_nc") * F.col("_nq"))).otherwise(F.lit(0.0))
     scored = joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
                            cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
@@ -53,17 +65,37 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return out.select("query_id", "neighbor_id", "cos", "rank")
 
 
+def _norm_expr(col) -> "F.Column":
+    """sqrt of the left-to-right sum-of-squares fold — EXACTLY the na/nb
+    sub-expression of functions.distances.cosine_expr, factored out so it
+    can be evaluated once per vector instead of once per candidate pair."""
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def _verify_cosine(cand: DataFrame, e: DataFrame, tau: float,
                    round_dp: int | None) -> DataFrame:
     """(src, dst) candidates -> (src, dst, cos) with cos >= tau: join the
     vectors back and score with the JVM-side cosine fold (shared verify tail
-    of every bucketed candidate path)."""
+    of every bucketed candidate path).
+
+    r9 (guide §2.3/§1.2): per-vector norms are folded ONCE on each join
+    input (N vectors) instead of per candidate row (~N * bucket pairs); the
+    dot product is the only remaining per-pair fold.  The norm expression
+    and the final when/divide tree are identical to cosine_expr, so `cos`
+    is bit-for-bit unchanged."""
+    en = e.select("vec_id", "vec", _norm_expr(F.col("vec")).alias("_n"))
     joined = (cand
-              .join(e.select(F.col("vec_id").alias("src"),
-                             F.col("vec").alias("va")), "src")
-              .join(e.select(F.col("vec_id").alias("dst"),
-                             F.col("vec").alias("vb")), "dst"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+              .join(en.select(F.col("vec_id").alias("src"),
+                              F.col("vec").alias("va"),
+                              F.col("_n").alias("na")), "src")
+              .join(en.select(F.col("vec_id").alias("dst"),
+                              F.col("vec").alias("vb"),
+                              F.col("_n").alias("nb")), "dst"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                 dot / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
     out = joined.select("src", "dst", cos.alias("cos")).where(F.col("cos") >= tau)
     if round_dp is not None:
         out = out.withColumn("cos", F.round("cos", round_dp))
@@ -267,7 +299,12 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
     ``max_bucket`` (finite by default) caps oversized buckets with logged
     anchor-star escalation — see _apply_bucket_cap; it never fires at the
     driver-oracle scale, so the DuckDB twin mirrors the uncapped plan."""
-    e = _prep(embeddings, id_col, vec_col)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
+    # r9: the bucket-key Generate, the candidate broadcast-hash self-join
+    # and the verify joins all inherit the scan's partitioning — spread a
+    # few-file scan so they parallelize (no-op for many-split scans)
+    e = _spread_for_cpu_kernel(_prep(embeddings, id_col, vec_col))
     if num_planes is None:
         num_planes = auto_planes(e.count())
     # past ~64 key expressions whole-stage codegen overflows the 64 KB JVM
@@ -294,6 +331,13 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
             .distinct())
     if star is not None:
         cand = cand.union(star).distinct()
+    # r9 barrier (guide §2.2): the candidate dedup's post-shuffle side is
+    # small in BYTES but each surviving row costs a 64-element cosine fold
+    # downstream — materialize with the wide flag so the dedup runs on all
+    # cores and the verify becomes a parallel map over the barrier files
+    # (measured 4.1 s -> ~1.9 s for the declared LSH slot at sf0.1)
+    from rabbittclust_spark.sources.tables import materialize
+    cand = materialize(cand, "ann_cand", wide=True)
     return _verify_cosine(cand, e, tau, round_dp)
 
 

@@ -64,24 +64,25 @@ def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["s"])
 
 
-def _driver_union_find(e: DataFrame) -> DataFrame:
-    """Small-edge-set fast path: collect + union-find on the driver
-    (the reference's own clustering is driver-side, src/UnionFind.h:5-90).
+def _driver_union_find(spark, pdf) -> DataFrame:
+    """Small-edge-set fast path: union-find on the driver over an already
+    collected (u, v) pandas frame (the reference's own clustering is
+    driver-side, src/UnionFind.h:5-90).  Duplicate edges are harmless to
+    the min-hooking sweeps, so callers collect WITHOUT a distinct shuffle.
     Produces the identical (doc_id, cluster_id=component min) result as the
     distributed path — equivalence is tested in tests/test_components.py."""
     import numpy as np
     import pandas as pd
 
-    pdf = e.toPandas()  # Arrow transfer, no per-row Row objects
     if pdf.empty:
-        return e.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
     us = pdf["u"].to_numpy(dtype=np.int64)
     vs = pdf["v"].to_numpy(dtype=np.int64)
     nodes, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
     ui, vi = inv[: len(us)], inv[len(us):]
     parent = _numpy_components(ui, vi, len(nodes))
     out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[parent]})
-    return e.sparkSession.createDataFrame(out)  # Arrow path
+    return spark.createDataFrame(out)  # Arrow path
 
 
 def _numpy_components(ui: "np.ndarray", vi: "np.ndarray", n: int) -> "np.ndarray":
@@ -116,7 +117,8 @@ def _numpy_components(ui: "np.ndarray", vi: "np.ndarray", n: int) -> "np.ndarray
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 50,
-                         driver_cutoff: int = 2_000_000) -> DataFrame:
+                         driver_cutoff: int = 2_000_000,
+                         _materialized: bool = False) -> DataFrame:
     """edges -> membership(doc_id, cluster_id) for every node appearing in edges.
 
     cluster_id = the minimum doc_id of the component (deterministic canonical
@@ -129,26 +131,37 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     near-dup edge set after the threshold cut is usually far smaller than the
     corpus).  Larger sets run the distributed star iterations.  Set
     driver_cutoff=0 to force the distributed path.
+
+    r9 (guide §1.2): the driver fast path is now a SINGLE action — one
+    ``limit(driver_cutoff + 1)`` Arrow collect both decides the cutoff and
+    delivers the edges (previously: a count+hash fingerprint job, then a
+    separate full collect, each re-reading the barrier), and the
+    normalization is a narrow filter with the dedup left to numpy, so no
+    distinct shuffle runs at all below the cutoff.  ``_materialized=True``
+    (callers whose edge input is already parquet-backed, e.g.
+    dedup.minhash_dedup) additionally skips the redundant barrier write.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
-    # materialize the normalized edge set ONCE (temp-parquet barrier, AQE
-    # stays active — see sources.tables.materialize): the fingerprint, the
-    # small-path collect, and the big path's first iteration all read the
-    # same 16-byte rows from parquet.  Without this the upstream plan (for
-    # callers passing a composed edge build) executed once per action —
-    # measured 2x the whole token-edge join for the fingerprint + collect
-    # pair; for already-materialized callers the extra narrow write is
-    # ~1 s per 1.6M edges.
+    # barrier for callers passing a composed edge build: every action below
+    # (the cutoff collect; on the big path the fingerprint + first
+    # iteration) re-executes the caller's plan without it — measured 2x the
+    # whole token-edge join.  Callers that already hold a parquet-backed
+    # edge frame pass _materialized=True and skip the extra round-trip.
     from rabbittclust_spark.sources.tables import materialize
-    e = materialize(e, "cc_edges")
+    if not _materialized:
+        e = materialize(e, "cc_edges")
+    if driver_cutoff:
+        pdf = e.limit(driver_cutoff + 1).toPandas()
+        if len(pdf) <= driver_cutoff:
+            return _driver_union_find(edges.sparkSession, pdf)
+    # distributed star path: dedup once behind a barrier (each iteration
+    # consumes `e` twice via the symmetrize union)
+    e = materialize(e.distinct(), "cc_star")
     prev_fp = _edge_fingerprint(e)
-    if prev_fp[0] <= driver_cutoff:
-        return _driver_union_find(e)
     converged = False
     for it in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

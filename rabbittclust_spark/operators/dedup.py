@@ -31,24 +31,22 @@ from rabbittclust_spark.operators.sketch import (
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: (doc_id, canonical_id = min doc_id of the
-    identical-text group).  Map-side combinable groupBy on md5(text).
+    identical-text group) — min-over-window on md5(text).
 
-    NULL texts hash to NULL; the join back is null-safe so those rows are
-    grouped together (all NULLs are "identical") instead of silently lost."""
-    from rabbittclust_spark.sources.tables import materialize
+    r9 (guide §2.4 "remove shuffles outright"): ONE hash-partition exchange
+    of 40-byte (doc_id, h) rows replaces the previous materialize + groupBy
+    + null-safe join-back (one parquet round-trip plus two shuffles).  NULL
+    texts hash to NULL, and window PARTITION BY groups NULL keys together —
+    exactly the eqNullSafe join-back semantics.  The text column itself is
+    never shuffled (hashing happens before the exchange)."""
+    from pyspark.sql import Window
 
     h = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("h"),
     )
-    # the hash table is consumed twice (canonical-min aggregate + join
-    # back); without a barrier both consumers re-scan the full text column
-    # and re-hash it — the barrier is a ~40-byte-row table
-    h = materialize(h, "exact_h")
-    canon = h.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
-    return (h.alias("l")
-            .join(canon.alias("r"), F.col("l.h").eqNullSafe(F.col("r.h")))
-            .select("doc_id", "canonical_id"))
+    w = Window.partitionBy("h")
+    return h.select("doc_id", F.min("doc_id").over(w).alias("canonical_id"))
 
 
 def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
@@ -93,9 +91,15 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
             # expensive to re-derive (e.g. an html-extract UDF) — measured
             # 3x extract re-execution without this barrier
             exact = _mat(exact, "exact")
+        # r9: spread the few-file text scan BEFORE the canon join — the
+        # joined plan's inputFiles() includes the exact barrier's files, so
+        # the sketch kernel's own spread gate cannot see that the TEXT side
+        # is a single-file scan (the kernel then runs on one core)
+        from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
         canon_docs = (
-            base.join(exact.where(F.col("doc_id") == F.col("canonical_id"))
-                      .select("doc_id"), "doc_id")
+            _spread_for_cpu_kernel(base)
+            .join(exact.where(F.col("doc_id") == F.col("canonical_id"))
+                  .select("doc_id"), "doc_id")
         )
     else:
         exact = base.select("doc_id", F.col("doc_id").alias("canonical_id"))
@@ -122,7 +126,9 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
     edges = build_edges(sketches, cfg, bands=bands)
     if materialize:
         edges = _mat(edges, "edges")
-    membership = connected_components(edges)
+    # r9: the edge frame is already parquet-backed (or the caller opted out
+    # of barriers entirely) — skip CC's internal barrier write
+    membership = connected_components(edges, _materialized=materialize)
     # node universe = the (materialized) sketch table: identical to
     # "canon docs above min_len" but NEVER re-derives `base` (an extract-UDF
     # base would otherwise re-execute here)
@@ -263,7 +269,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2,
     None compares all pairs (tests only).
     """
     cols = [id_col, text_col] + ([block_col] if block_col else [])
-    base = docs.select(*cols)
+    # r9: gram construction (split + transform + array_distinct + explode)
+    # is CPU-bound and inherits scan partitioning — a single-file corpus
+    # would build every gram on one core (guide §2.6); the spread is
+    # file-count-gated so many-split scans at scale pass through untouched
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+    base = _spread_for_cpu_kernel(docs.select(*cols))
     g = token_ngrams(base, n, id_col=id_col, text_col=text_col)
     if block_col:
         g = g.join(base.select(F.col(id_col).cast("long").alias("doc_id"),

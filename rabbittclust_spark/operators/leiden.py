@@ -235,10 +235,12 @@ def label_propagation(edges: DataFrame, resolution: float = 1.0,
         norm = _minmax_normalize(norm)
     src, dst, dist_col, weight_col = "u", "v", None, "w"
     if driver_cutoff:
-        n_edges = norm.count()
-        if n_edges <= driver_cutoff:
-            import numpy as np
-            pdf = norm.toPandas()
+        # r9 (guide §1.2): ONE limited Arrow collect decides the cutoff AND
+        # delivers the edges (previously a count job plus a separate full
+        # collect, each scanning the barrier)
+        import numpy as np
+        pdf = norm.limit(driver_cutoff + 1).toPandas()
+        if len(pdf) <= driver_cutoff:
             nodes, comm = _lpa_core(
                 pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64),
                 pdf["w"].to_numpy(np.float64), resolution=resolution,
@@ -597,9 +599,14 @@ def community_multilevel(edges: DataFrame, resolution: float = 1.0,
         # finest level (src/leiden.cpp:344-366); coarse levels keep their
         # summed super-edge weights
         norm = _minmax_normalize(norm)
-    if driver_cutoff and norm.count() <= driver_cutoff:
+    if driver_cutoff:
+        # r9: one limited collect replaces count + full collect (see
+        # label_propagation)
         import numpy as np
-        pdf = norm.toPandas()
+        pdf = norm.limit(driver_cutoff + 1).toPandas()
+    else:
+        pdf = None
+    if pdf is not None and len(pdf) <= driver_cutoff:
         nodes, comm = _multilevel_core(
             pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64),
             pdf["w"].to_numpy(np.float64), resolution=resolution,

@@ -260,14 +260,17 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # executes the verify join orders of magnitude slower than running the
     # two halves as separate jobs (each is seconds); a persisted candidate
     # table is also what the checkpointed pipeline does anyway.
+    # wide=True (r9): candidate dedup + exact verify are the two stages
+    # whose compute explodes relative to their input bytes — see
+    # sources.tables.materialize.
     from rabbittclust_spark.sources.tables import materialize
-    cand = materialize(cand, "cand")
+    cand = materialize(cand, "cand", wide=True)
     joined = verify_join(cand, sketches)
     # barrier AFTER computing `common`: project-collapse would otherwise
     # inline the array_intersect expression into every downstream reference
     # (jaccard, distance, filters) — observed ~20x re-evaluation per row.
     # Behind the barrier it is a scalar column evaluated exactly once.
-    joined = materialize(joined, "pair_counts")
+    joined = materialize(joined, "pair_counts", wide=True)
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )
@@ -329,7 +332,9 @@ def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
     joined = verify_join(cand, sketches).where(
         size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
     from rabbittclust_spark.sources.tables import materialize
-    joined = materialize(joined, "pair_counts")  # see pair_counts_probe
+    # see pair_counts_probe; wide=True keeps the band-candidate dedup and
+    # the array_intersect verify parallel at small input bytes (r9)
+    joined = materialize(joined, "pair_counts", wide=True)
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )

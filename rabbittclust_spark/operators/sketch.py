@@ -73,7 +73,8 @@ def sketch_minhash(df: DataFrame, cfg: PipelineConfig,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(compute, schema=_SKETCH_SCHEMA)
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema=_SKETCH_SCHEMA)
 
 
 def sketch_fracminhash(df: DataFrame, cfg: PipelineConfig,
@@ -100,7 +101,8 @@ def sketch_fracminhash(df: DataFrame, cfg: PipelineConfig,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(compute, schema=_SKETCH_SCHEMA)
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema=_SKETCH_SCHEMA)
 
 
 def sketch_simhash(df: DataFrame, cfg: PipelineConfig,
@@ -124,7 +126,8 @@ def sketch_simhash(df: DataFrame, cfg: PipelineConfig,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(compute, schema="doc_id long, len long, simhash long")
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema="doc_id long, len long, simhash long")
 
 
 def sketch_bands(df: DataFrame, cfg: PipelineConfig,
@@ -148,7 +151,8 @@ def sketch_bands(df: DataFrame, cfg: PipelineConfig,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(compute, schema="doc_id long, band_keys array<long>")
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema="doc_id long, band_keys array<long>")
 
 
 def sketch_minhash_bands(df: DataFrame, cfg: PipelineConfig,
@@ -194,7 +198,7 @@ def sketch_minhash_bands(df: DataFrame, cfg: PipelineConfig,
                   F.col(text_col).alias("text"))
         .filter(F.length(F.col("text")) >= cfg.min_len)
     )
-    return prepared.mapInPandas(
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
         compute, schema=_SKETCH_SCHEMA + ", band_keys array<long>")
 
 

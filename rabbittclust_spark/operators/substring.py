@@ -40,11 +40,13 @@ def sketch_winnow(df: DataFrame, cfg: PipelineConfig, window: int = 50,
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
                                 "len": lens, "n_fp": ns, "fp": fps})
 
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+
     prepared = (df.select(F.col(id_col).cast("long").alias("doc_id"),
                           F.col(text_col).alias("text"))
                 .filter(F.length("text") >= cfg.min_len))
-    return prepared.mapInPandas(compute,
-                                schema="doc_id long, len long, n_fp int, fp array<long>")
+    return _spread_for_cpu_kernel(prepared).mapInPandas(
+        compute, schema="doc_id long, len long, n_fp int, fp array<long>")
 
 
 def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
@@ -72,7 +74,9 @@ def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
-    pairs = materialize(pairs, "substr_pairs")
+    # wide=True (r9): the shared-fingerprint count join explodes relative
+    # to its input bytes — see sources.tables.materialize
+    pairs = materialize(pairs, "substr_pairs", wide=True)
     return (pairs.withColumn(
         "containment",
         F.round(F.col("shared") / F.least("n1", "n2").cast("double"), 6))
@@ -103,5 +107,7 @@ def substring_dedup(docs: DataFrame, cfg: PipelineConfig, window: int = 50,
                                         id_col=id_col, text_col=text_col),
                      "winnow")
     pairs = substring_pairs(fp, cfg, min_containment=min_containment)
-    membership = connected_components(pairs)
+    # pairs is a narrow filter over the substr_pairs barrier — cheap to
+    # re-read, so CC skips its own barrier write (r9)
+    membership = connected_components(pairs, _materialized=True)
     return assignments_from_components(fp.select("doc_id"), membership)

@@ -99,7 +99,8 @@ def materialize_scope():
         del _MATERIALIZE_DIRS[mark:]
 
 
-def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
+def materialize(df: DataFrame, name: str = "stage",
+                wide: bool = False) -> DataFrame:
     """Materialize a DataFrame once via a temp-parquet round-trip.
 
     Preferred over localCheckpoint/cache for composed plans: the write runs
@@ -107,6 +108,16 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
     AQE finalization disabled, degrading skew-handled joins), and downstream
     consumers re-read columnar parquet with full pushdown.  This is the
     in-memory twin of the pipeline's persistent stage tables.
+
+    ``wide=True`` (r9, guide §2.2/§2.5) drops AQE's 1 MB partition-coalesce
+    floor for THIS write job only: stages whose per-row compute explodes
+    relative to their input bytes (candidate self-joins, array_intersect
+    verify joins) are otherwise coalesced to 1-2 post-shuffle partitions
+    and run serial even on a 32-core host.  Scoped here rather than
+    session-wide because a global 1-byte floor costs every tiny stage
+    ~32-task overhead (measured net-negative on the flagship); at cluster
+    scale the floor is moot either way (bytes/parallelism dominates), so
+    this only changes small-input behavior.
 
     Temp dirs are tracked and removed at interpreter exit so long-lived
     drivers don't leak /tmp disk across repeated pair-generation calls.
@@ -119,5 +130,17 @@ def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
         atexit.register(cleanup_materialized)
     _MATERIALIZE_DIRS.append(d)
     path = os.path.join(d, "data")
-    df.write.mode("overwrite").parquet(path)
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    conf = df.sparkSession.conf
+    old = conf.get(key, None) if wide else None
+    if wide:
+        conf.set(key, "1b")
+    try:
+        df.write.mode("overwrite").parquet(path)
+    finally:
+        if wide:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
     return df.sparkSession.read.parquet(path)
