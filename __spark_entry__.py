@@ -493,15 +493,22 @@ def _simhash_vote_agg(toks):
     """(doc_id, v0..v63) Charikar majority votes over md5(token) bits:
     each distinct token votes +1/-1 per bit position of its md5.  Shared by
     the token_simhash hex twin and the simhash_dedup end-to-end oracle —
-    the two MUST aggregate identically for the fingerprints to agree."""
+    the two MUST aggregate identically for the fingerprints to agree.
+
+    r9: the 16 hex nibbles are projected ONCE per row below the aggregate
+    (the previous inline form evaluated conv(substring(md5)) 64x per row
+    inside the partial-aggregate update); the per-bit shift/mask/sum math
+    is unchanged, so the votes are identical."""
     h = F.md5("tok")
+    nib = toks.select("doc_id", *[
+        F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"_n{i}")
+        for i in range(16)])
     votes = [
-        F.sum(2 * F.shiftright(F.conv(F.substring(h, j // 4 + 1, 1), 16, 10)
-                               .cast("int"), j % 4).bitwiseAND(F.lit(1)) - 1)
-        .alias(f"v{j}")
+        F.sum(2 * F.shiftright(F.col(f"_n{j // 4}"), j % 4)
+              .bitwiseAND(F.lit(1)) - 1).alias(f"v{j}")
         for j in range(64)
     ]
-    return toks.groupBy("doc_id").agg(*votes)
+    return nib.groupBy("doc_id").agg(*votes)
 
 
 def _token_simhash_sketch(spark, sf_dir):
@@ -1113,7 +1120,8 @@ def _q_label_propagation(spark, sf_dir):
     from rabbittclust_spark.operators.leiden import label_propagation
     from rabbittclust_spark.sources.tables import materialize
 
-    edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges")
+    edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges",
+                        wide=True)
     comm = label_propagation(edges, resolution=1.0, monotone_labels=True,
                              _materialized=True)
     # named guard for the oracle coupling: the SQL twin unrolls exactly
@@ -1206,7 +1214,8 @@ def _q_community_multilevel(spark, sf_dir):
     from rabbittclust_spark.operators.leiden import community_multilevel
     from rabbittclust_spark.sources.tables import materialize
 
-    edges = materialize(_token_edges(spark, sf_dir), "ml_q_edges")
+    edges = materialize(_token_edges(spark, sf_dir), "ml_q_edges",
+                        wide=True)
     kw = dict(resolution=1.0, max_levels=2, monotone_base=True,
               min_gain=float("-inf"))
     comm = community_multilevel(edges, **kw)
@@ -1308,15 +1317,19 @@ def _md5_winnow_fp_sketch(spark, sf_dir):
     h = toks.select("doc_id", "pos", F.conv(
         F.substring(F.md5("tok"), 1, MH_HEX_PREFIX_LEN), 16, 10)
         .cast("long").alias("h"))
-    cnt = h.groupBy("doc_id").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy("pos") \
         .rowsBetween(Window.currentRow, TOKEN_WINNOW_W - 1)
+    # r9 (guide §2.4): cnt as a same-partition window count (no extra
+    # shuffle or join — the doc_id exchange is already established for the
+    # sliding min) and dedup folded into collect_set (subsumes the previous
+    # (doc_id, fp).distinct() exchange); identical fingerprint sets.
+    wc = Window.partitionBy("doc_id")
     fps = (h.withColumn("fp", F.min("h").over(w))
-           .join(cnt, "doc_id")
+           .withColumn("cnt", F.count("*").over(wc))
            .where(F.col("pos") <= F.col("cnt") - TOKEN_WINNOW_W)
-           .select("doc_id", "fp").distinct())
+           .select("doc_id", "fp"))
     sk = fps.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("fp")).alias("fp"))
+        F.array_sort(F.collect_set("fp")).alias("fp"))
     return (sk.join(base.select("doc_id",
                                 F.length("text").cast("long").alias("len")),
                     "doc_id")

@@ -124,10 +124,12 @@ def minhash_dedup(docs: DataFrame, cfg: PipelineConfig,
             sketches = _mat(sketches, "sketches")
         bands = None
     edges = build_edges(sketches, cfg, bands=bands)
-    if materialize:
-        edges = _mat(edges, "edges")
-    # r9: the edge frame is already parquet-backed (or the caller opted out
-    # of barriers entirely) — skip CC's internal barrier write
+    # r9: no edge barrier — build_edges ends in a narrow distance filter
+    # over the pair_counts barrier (see pairs.pair_counts_probe), so CC's
+    # single limited collect executes it exactly once straight off parquet;
+    # a dedicated edges round-trip was a pure extra write+read job.  The
+    # returned dict's "edges" entry stays the same cheap narrow plan for
+    # pipeline consumers (plans/pipeline.py persists its own stage anyway).
     membership = connected_components(edges, _materialized=materialize)
     # node universe = the (materialized) sketch table: identical to
     # "canon docs above min_len" but NEVER re-derives `base` (an extract-UDF

@@ -44,6 +44,12 @@ def get_spark(app_name: str = "rabbittclust-spark", master: str | None = None,
         # still stage up (local limits bound what each task ships).
         .config("spark.sql.limit.initialNumPartitions",
                 os.environ.get("SPARK_GRAFT_LIMIT_PARTS", "128"))
+        # r9 (guide §6): stage barriers are written as temp parquet many
+        # times per query — commit files during task commit (v2) instead of
+        # a sequential driver-side rename pass, and skip _SUCCESS markers
+        # nothing reads.  Standard practice for non-object-store filesystems.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -124,7 +124,7 @@ def main() -> None:
 
     from tools.scaling_bench import ExternalCpuMonitor
 
-    def _gate(max_wait=45.0):
+    def _gate(max_wait=float(os.environ.get("R9_GATE_WAIT", "180"))):
         t0 = time.time()
         while True:
             mon = ExternalCpuMonitor()
