@@ -146,7 +146,7 @@ def _q_ngram_jaccard(spark, sf_dir):
                                min_jaccard=NGRAM_MIN_JACCARD, block_col="source")
 
 
-def _token_postings(spark, sf_dir):
+def _token_postings(spark, sf_dir, spread=True):
     """(doc_id, source, tok) distinct-token posting rows — the single source
     of the tokenization expression shared by every token-graph query (MUST
     stay in lockstep with the DuckDB CTEs' regexp_extract_all).
@@ -156,11 +156,14 @@ def _token_postings(spark, sf_dir):
     broadcast-hash posting self-joins built on these rows inherit the scan's
     partitioning, so a single-file corpus previously ran the entire
     O(sum posting^2) pair explosion on one core (measured: the token-edge
-    join was ~3.0 s of a 3.6 s wall at sf0.1 on local[32])."""
-    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
-
-    d = _spread_for_cpu_kernel(
-        _docs(spark, sf_dir).select("doc_id", "text", "source"))
+    join was ~3.0 s of a 3.6 s wall at sf0.1 on local[32]).  ``spread=False``
+    (the repdb probe queries) skips that: their selective q x r join never
+    explodes like the all-pairs families, and the extra exchanges measured
+    as a net +0.3 s there (at scale the gate is a no-op either way)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    if spread:
+        from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+        d = _spread_for_cpu_kernel(d)
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source",
         F.explode(F.array_distinct(
@@ -729,7 +732,7 @@ def _q_repdb_topk(spark, sf_dir):
     O(shared-key candidates), never queries x reps."""
     from rabbittclust_spark.streaming.incremental import query_topk_postings
 
-    toks = _token_postings(spark, sf_dir)
+    toks = _token_postings(spark, sf_dir, spread=False)
     reps = toks.where(F.col("doc_id") % REPDB_QUERY_MOD != 0)
     qs = toks.where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
     out = query_topk_postings(reps, qs, distance_k=TOKEN_MASH_K, k=REPDB_K,
@@ -746,7 +749,7 @@ def _q_repdb_assign(spark, sf_dir):
     threshold else novel, over the token-posting probe join."""
     from rabbittclust_spark.streaming.incremental import query_topk_postings
 
-    toks = _token_postings(spark, sf_dir)
+    toks = _token_postings(spark, sf_dir, spread=False)
     reps = toks.where(F.col("doc_id") % REPDB_QUERY_MOD != 0)
     qs = toks.where(F.col("doc_id") % REPDB_QUERY_MOD == 0)
     top1 = query_topk_postings(reps, qs, distance_k=TOKEN_MASH_K, k=1,
@@ -1120,8 +1123,7 @@ def _q_label_propagation(spark, sf_dir):
     from rabbittclust_spark.operators.leiden import label_propagation
     from rabbittclust_spark.sources.tables import materialize
 
-    edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges",
-                        wide=True)
+    edges = materialize(_token_edges(spark, sf_dir), "lpa_q_edges")
     comm = label_propagation(edges, resolution=1.0, monotone_labels=True,
                              _materialized=True)
     # named guard for the oracle coupling: the SQL twin unrolls exactly
@@ -1214,8 +1216,7 @@ def _q_community_multilevel(spark, sf_dir):
     from rabbittclust_spark.operators.leiden import community_multilevel
     from rabbittclust_spark.sources.tables import materialize
 
-    edges = materialize(_token_edges(spark, sf_dir), "ml_q_edges",
-                        wide=True)
+    edges = materialize(_token_edges(spark, sf_dir), "ml_q_edges")
     kw = dict(resolution=1.0, max_levels=2, monotone_base=True,
               min_gain=float("-inf"))
     comm = community_multilevel(edges, **kw)

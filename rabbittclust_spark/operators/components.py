@@ -153,9 +153,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # edge frame pass _materialized=True and skip the extra round-trip.
     from rabbittclust_spark.sources.tables import materialize
     if not _materialized:
-        # wide=True: composed edge builds are candidate-join explosions —
-        # small input bytes, large compute (see sources.tables.materialize)
-        e = materialize(e, "cc_edges", wide=True)
+        e = materialize(e, "cc_edges")
     if driver_cutoff:
         pdf = e.limit(driver_cutoff + 1).toPandas()
         if len(pdf) <= driver_cutoff:

@@ -260,17 +260,17 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # executes the verify join orders of magnitude slower than running the
     # two halves as separate jobs (each is seconds); a persisted candidate
     # table is also what the checkpointed pipeline does anyway.
-    # wide=True (r9): candidate dedup + exact verify are the two stages
-    # whose compute explodes relative to their input bytes — see
-    # sources.tables.materialize.
+    # (r9: wide=True was A/B-measured NET-NEGATIVE here — the verify join
+    # ships sig arrays, and 32-way SHJ over tiny inputs costs more than the
+    # parallelism buys; see OPTIMIZATION_r09.md "wide flag placement")
     from rabbittclust_spark.sources.tables import materialize
-    cand = materialize(cand, "cand", wide=True)
+    cand = materialize(cand, "cand")
     joined = verify_join(cand, sketches)
     # barrier AFTER computing `common`: project-collapse would otherwise
     # inline the array_intersect expression into every downstream reference
     # (jaccard, distance, filters) — observed ~20x re-evaluation per row.
     # Behind the barrier it is a scalar column evaluated exactly once.
-    joined = materialize(joined, "pair_counts", wide=True)
+    joined = materialize(joined, "pair_counts")
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )
@@ -332,9 +332,7 @@ def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
     joined = verify_join(cand, sketches).where(
         size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
     from rabbittclust_spark.sources.tables import materialize
-    # see pair_counts_probe; wide=True keeps the band-candidate dedup and
-    # the array_intersect verify parallel at small input bytes (r9)
-    joined = materialize(joined, "pair_counts", wide=True)
+    joined = materialize(joined, "pair_counts")  # see pair_counts_probe
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())
     )
