@@ -429,11 +429,13 @@ def _md5_minhash_sketch(spark, sf_dir, banded: bool = False):
             .join(canon.where(F.col("doc_id") == F.col("canonical_id"))
                   .select("doc_id"), "doc_id")
             .where(F.length("text") >= _CFG.min_len))
-    toks = base.select("doc_id", F.explode(F.array_distinct(
-        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
-                             F.lit(0)))).alias("tok"))
+    toks = base.select("doc_id",
+                       F.length("text").cast("long").alias("len"),
+                       F.explode(F.array_distinct(
+                           F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE),
+                                                F.lit(0)))).alias("tok"))
     h = toks.select(
-        "doc_id",
+        "doc_id", "len",
         F.conv(F.substring(F.md5("tok"), 1, MH_HEX_PREFIX_LEN), 16, 10)
         .cast("long").alias("h"))
     # r9 (guide §2.4): bottom-s as ONE hash aggregate — collect_set dedups
@@ -441,14 +443,14 @@ def _md5_minhash_sketch(spark, sf_dir, banded: bool = False):
     # md5 prefix — the previous global .distinct() exchange is subsumed),
     # array_sort + slice takes the s smallest; identical to the previous
     # distinct + row_number window + sort_array(collect_list) at a third of
-    # the shuffles and with no per-partition sort.
+    # the shuffles and with no per-partition sort.  `len` rides through the
+    # explode (constant per doc) and is re-emitted by first() — the previous
+    # join back to `base` re-evaluated the whole canon-window subplan.
     sk = h.groupBy("doc_id").agg(
+        F.first("len").alias("len"),
         F.slice(F.array_sort(F.collect_set("h")), 1, MH_ORACLE_S)
         .alias("sig"))
-    out = (sk.join(base.select("doc_id",
-                               F.length("text").cast("long").alias("len")),
-                   "doc_id")
-           .select("doc_id", "len", F.size("sig").alias("n"), "sig"))
+    out = sk.select("doc_id", "len", F.size("sig").alias("n"), "sig")
     if banded:
         keys = F.when(F.size("sig") >= 2, F.transform(
             F.sequence(F.lit(0), F.floor(F.size("sig") / 2).cast("int") - 1),

@@ -184,8 +184,11 @@ def simhash_edges(docs: DataFrame, cfg: PipelineConfig,
               "simhash")
 
     # block keys as pure shift/mask column expressions — zero Python after
-    # the sketch UDF (parity with functions.simhash.simhash_blocks is tested)
-    keyed = sh.select(
+    # the sketch UDF (parity with functions.simhash.simhash_blocks is tested).
+    # r9: spread the barrier read-back before the explode so the block
+    # self-join doesn't inherit a 1-2 file scan (see pairs.pair_counts_probe)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+    keyed = _spread_for_cpu_kernel(sh).select(
         "doc_id", "simhash",
         F.explode(simhash_block_exprs(F.col("simhash"), num_blocks)).alias("bk"))
     # block-key skew cap: a block value shared by p docs (identical
@@ -349,14 +352,20 @@ def wminhash_pairs(docs: DataFrame, cfg: PipelineConfig, num_samples: int = 128,
     what lets the driver oracle run this exact operator over an
     SQL-expressible positional md5 MinHash (the sketch_df recipe of
     minhash_dedup/simhash_edges) while production keeps ICWS."""
-    from rabbittclust_spark.operators.sketch import sketch_wminhash
+    from rabbittclust_spark.operators.sketch import (
+        _spread_for_cpu_kernel,
+        sketch_wminhash,
+    )
     from rabbittclust_spark.sources.tables import materialize as _mat
 
     sk = _mat(sketch_df if sketch_df is not None
               else sketch_wminhash(docs, cfg, num_samples=num_samples,
                                    id_col=id_col, text_col=text_col),
               "wminhash")
-    post = sk.select("doc_id", F.posexplode("sig").alias("pos", "key"))
+    # r9: spread the barrier read-back before the explode (see
+    # pairs.pair_counts_probe)
+    post = _spread_for_cpu_kernel(sk).select(
+        "doc_id", F.posexplode("sig").alias("pos", "key"))
     # hot-(pos,key) cap: identical/boilerplate docs agree at EVERY position,
     # so one (pos, sample) group of p docs emits ~p^2/2 join rows.  The cap
     # bookkeeping runs on a combined 64-bit key (xxhash64 collisions would

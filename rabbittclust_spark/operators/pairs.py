@@ -226,7 +226,14 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
     join, which parallelizes by pair with no hot keys.
     """
     b = int(cfg.probe_hashes)
-    probes = sketches.select(
+    # r9: the sketch barrier is a few small files at bench scale, so the
+    # posting explode + broadcast-hash self-join + pair dedup would inherit
+    # 1-2 partitions and run serial (measured: the banded twin's candidate
+    # build was ~5 s of an 8 s wall); spread the compact sketch rows BEFORE
+    # the explode (file-count gated — a many-file barrier at scale passes
+    # through untouched)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+    probes = _spread_for_cpu_kernel(sketches.select("doc_id", "n", "sig")).select(
         F.col("doc_id"), F.col("n"),
         F.explode(F.slice("sig", 1, b)).alias("h"),
     )
@@ -308,7 +315,10 @@ def candidate_pairs_banded(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
     bands = (doc_id, band_keys array<long>).  Hot-band cap = --max-posting
     analog applied to band keys.
     """
-    exploded = bands.select(F.col("doc_id"), F.explode("band_keys").alias("bk"))
+    # spread before the explode — see pair_counts_probe (r9)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+    exploded = _spread_for_cpu_kernel(bands).select(
+        F.col("doc_id"), F.explode("band_keys").alias("bk"))
     exploded, star = _apply_posting_cap(exploded, "bk", cfg, "banded")
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -329,9 +339,14 @@ def pair_counts_banded(sketches: DataFrame, bands: DataFrame,
     (src, dst, n1, n2, common) via JVM array_intersect
     (reference merge-intersection, src/greedy.cpp:39-67,73-99)."""
     cand = candidate_pairs_banded(bands, cfg)
+    # r9: same natural barrier as probe mode — the band-candidate dedup is a
+    # lightweight pair-dedup reduce (wide pays, like the LSH candidate
+    # barrier), and splitting it from the array_intersect verify keeps the
+    # verify join's inputs parquet-backed instead of a fused composed plan
+    from rabbittclust_spark.sources.tables import materialize
+    cand = materialize(cand, "cand", wide=True)
     joined = verify_join(cand, sketches).where(
         size_ratio_pred(F.col("n1"), F.col("n2"), cfg.max_size_ratio()))
-    from rabbittclust_spark.sources.tables import materialize
     joined = materialize(joined, "pair_counts")  # see pair_counts_probe
     return joined.where(
         F.col("common") >= common_lower_bound_expr(F.col("n1"), F.col("n2"), cfg.jaccard_min())

@@ -61,7 +61,11 @@ def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
 
     from rabbittclust_spark.operators.pairs import _apply_posting_cap
 
-    postings = fp_sketches.select("doc_id", "n_fp", F.explode("fp").alias("h"))
+    # r9: spread the barrier read-back before the explode so the posting
+    # self-join doesn't inherit a 1-2 file scan (see pairs.pair_counts_probe)
+    from rabbittclust_spark.operators.sketch import _spread_for_cpu_kernel
+    postings = _spread_for_cpu_kernel(fp_sketches).select(
+        "doc_id", "n_fp", F.explode("fp").alias("h"))
     # count-aggregation path: drop-with-logging like index mode
     postings, _ = _apply_posting_cap(postings, "h", cfg, "substring",
                                      allow_star=False)
