@@ -78,9 +78,10 @@ def substring_pairs(fp_sketches: DataFrame, cfg: PipelineConfig,
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
-    # wide=True (r9): the shared-fingerprint count join explodes relative
-    # to its input bytes — see sources.tables.materialize
-    pairs = materialize(pairs, "substr_pairs", wide=True)
+    # r9: wide measured slightly better for the md5-winnow oracle twin
+    # (4.40 vs 4.59 s) but worse for the production rolling-hash path
+    # (2.58 vs 2.31 s) — production wins the tie-break
+    pairs = materialize(pairs, "substr_pairs")
     return (pairs.withColumn(
         "containment",
         F.round(F.col("shared") / F.least("n1", "n2").cast("double"), 6))
