@@ -327,10 +327,12 @@ def embedding_neardup_lsh(embeddings: DataFrame, tau: float, dim: int,
     cand = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("src"),
-                    F.col("b.vec_id").alias("dst"))
-            .distinct())
+                    F.col("b.vec_id").alias("dst")))
+    # r9: one fused distinct over raw-pairs ∪ star (identical set, one fewer
+    # shuffle when the bucket cap escalates — see pairs.candidate_pairs_banded)
     if star is not None:
-        cand = cand.union(star).distinct()
+        cand = cand.union(star)
+    cand = cand.distinct()
     # r9 barrier (guide §2.2): the candidate dedup's post-shuffle side is
     # small in BYTES but each surviving row costs a 64-element cosine fold
     # downstream — materialize with the wide flag so the dedup runs on all

@@ -255,13 +255,17 @@ def pair_counts_probe(sketches: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 .agg(F.count("*").alias("_pc"))
                 .where(F.col("_pc") >= cfg.min_probe_common)
                 .select("src", "dst"))
+        if star is not None:
+            # escalated hot-hash candidates verify exactly like the others;
+            # the size-ratio pred is skipped for them, which is safe —
+            # ratio-violating pairs mathematically cannot pass the
+            # common-count/threshold filters
+            cand = cand.union(star).distinct()
     else:
-        cand = matched.distinct()
-    if star is not None:
-        # escalated hot-hash candidates verify exactly like the others; the
-        # size-ratio pred is skipped for them, which is safe — ratio-violating
-        # pairs mathematically cannot pass the common-count/threshold filters
-        cand = cand.union(star).distinct()
+        # r9: single fused distinct (see candidate_pairs_banded) — identical
+        # pair set, one shuffle instead of two when the cap escalates
+        cand = matched if star is None else matched.union(star)
+        cand = cand.distinct()
     # materialize the candidate set: splits the query at its natural barrier.
     # Observed on Spark 4.1: fusing candidate-gen + verify into one plan
     # executes the verify join orders of magnitude slower than running the
@@ -326,11 +330,15 @@ def candidate_pairs_banded(bands: DataFrame, cfg: PipelineConfig) -> DataFrame:
         a.join(b, F.col("a.bk") == F.col("b.bk"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
     )
+    # r9: ONE distinct over raw-pairs ∪ star — distinct(A ∪ B) ==
+    # distinct(distinct(A) ∪ B), and the fused form shuffles the raw pair
+    # set once instead of raw + deduped (the md5-token twin's hot-band case
+    # re-shuffled ~1.6M deduped pairs a second time).  star=None keeps the
+    # exact previous plan.
     if star is not None:
-        cand = cand.union(star).distinct()
-    return cand
+        cand = cand.union(star)
+    return cand.distinct()
 
 
 def pair_counts_banded(sketches: DataFrame, bands: DataFrame,

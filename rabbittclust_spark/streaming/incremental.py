@@ -52,7 +52,6 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
         .where(size_ratio_pred(F.col("a.n"), F.col("b.n"), cfg.max_size_ratio()))
         .select(F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("src"),
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("dst"))
-        .distinct()
     )
     if star is not None:
         # escalated hot-key candidates (anchor-star) verify exactly below;
@@ -64,9 +63,11 @@ def _pair_counts_vs(new_sk: DataFrame, all_sk: DataFrame,
                           "src", "left_semi")
                 .unionByName(
                     star.join(new_ids.withColumnRenamed("doc_id", "dst"),
-                              "dst", "left_semi"))
-                .distinct())
-        cand = cand.union(star).distinct()
+                              "dst", "left_semi")))
+        cand = cand.union(star)
+    # r9: ONE distinct over raw-pairs (∪ star) — identical candidate set,
+    # one shuffle instead of up to three (see pairs.candidate_pairs_banded)
+    cand = cand.distinct()
     from rabbittclust_spark.operators.pairs import verify_join
 
     joined = verify_join(cand, all_sk)
