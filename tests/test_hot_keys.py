@@ -168,3 +168,21 @@ def test_strict_no_cap_passes_below_cap(spark, hot_docs):
     # fires, results identical to the unguarded run
     cfg = dataclasses.replace(BASE_CFG, strict_no_cap=True)
     assert _clusters(hot_docs, cfg) == _clusters(hot_docs, BASE_CFG)
+
+
+def test_fused_distinct_candidates_have_no_duplicates(spark, hot_docs):
+    """r9: candidate builders run ONE distinct over raw-pairs ∪ star
+    (distinct(A ∪ B) == distinct(distinct(A) ∪ B)).  With a firing cap the
+    star anchors overlap pairs the cold bands also generate — the fused
+    output must still be duplicate-free, else the exact verify multiplies
+    work and pair-level consumers see inflated counts."""
+    from rabbittclust_spark.operators.pairs import candidate_pairs_banded
+    from rabbittclust_spark.operators.sketch import sketch_minhash_bands
+
+    cfg = dataclasses.replace(BASE_CFG, pair_mode="banded", max_posting=10,
+                              hot_hash_mode="star")
+    bands = sketch_minhash_bands(hot_docs, cfg).select("doc_id", "band_keys")
+    cand = candidate_pairs_banded(bands, cfg)
+    total = cand.count()
+    assert total > 0
+    assert cand.distinct().count() == total
